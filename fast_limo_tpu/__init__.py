@@ -1,0 +1,16 @@
+"""fast_limo_tpu — a TPU-native LiDAR-inertial odometry & SLAM engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of fast_LIMO
+(fetty31/fast_LIMO): iterated error-state Kalman filtering on manifolds,
+motion-compensated deskewing, direct point-to-plane scan-to-map registration
+against an incremental voxel-hash map, loop closure and pose-graph
+optimization — all as fixed-shape, jit-compiled array programs that scale
+over a `jax.sharding.Mesh`.
+
+Reference parity notes cite `file:line` of the reference tree
+(/root/reference, fetty31/fast_LIMO @ 2025-05-23).
+"""
+
+__version__ = "0.1.0"
+
+from fast_limo_tpu.utils.config import Config  # noqa: F401

@@ -1,0 +1,255 @@
+"""Iterated error-state Kalman filter on the 23-DOF manifold.
+
+Behavioral counterpart of `esekfom::esekf<state_ikfom, 12, input_ikfom>` —
+specifically `predict` (esekfom.hpp:279-384) and
+`update_iterated_dyn_share_modified` (esekfom.hpp:1620-1823) — specialized to
+the fixed fast-LIMO state layout and written as pure fixed-shape JAX
+functions.  All covariance algebra is tiny dense linear algebra (23×23,
+12×12) that XLA fuses into a handful of ops.
+
+Parity quirks deliberately replicated from the reference:
+
+* esekfom.hpp:312/344 call ``MTK::exp(…, scalar_type(1/2))`` — **C++ integer
+  division**, so the SO3/S2 "res" rotations in predict are identity.  The
+  F_x1 SO3 diagonal blocks are therefore I, and the S2 block is ``Nx·Mx``.
+* The degeneracy guard (esekfom.hpp:1736-1744) zeroes *rows* of the
+  eigenvector matrix whose eigenvalue is below D, then applies
+  ``V⁻¹·V_sel``.  We use ``eigh`` (HᵀH is symmetric) with ascending
+  eigenvalue order.
+* Convergence is tested on the *pre-degeneracy* update ``dx_``
+  (esekfom.hpp:1749-1756); the boxplus uses the degeneracy-guarded vector.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fast_limo_tpu.models import process
+from fast_limo_tpu.models import state as st
+from fast_limo_tpu.ops import s2, so3
+
+N = st.ERR_DIM  # 23
+M_OBS = 12      # columns of the measurement Jacobian (esekfom.hpp:1647)
+
+
+class FilterState(NamedTuple):
+    x: st.NavState
+    P: jnp.ndarray  # (23, 23)
+
+
+def init_P(dtype=jnp.float32):
+    """Initial covariance (Localizer.cpp:685-693)."""
+    d = jnp.ones(N, dtype=dtype)
+    d = d.at[6:9].set(1e-6)      # offset_R_L_I
+    d = d.at[9:12].set(1e-6)     # offset_T_L_I
+    d = d.at[15:18].set(1e-5)    # bg
+    d = d.at[18:21].set(1e-4)    # ba
+    d = d.at[21:23].set(1e-6)    # grav
+    return jnp.diag(d)
+
+
+# ---------------------------------------------------------------------------
+# predict
+# ---------------------------------------------------------------------------
+
+def predict(x: st.NavState, P, acc, gyro, dt, Q):
+    """One covariant EKF prediction step (esekfom.hpp:279-384).
+
+    acc/gyro are bias-*uncorrected* baselink-frame IMU measurements (the
+    state's bg/ba handle biases); dt is the IMU sample period.
+    """
+    dtype = x.dtype
+    f_ = process.f(x, acc, gyro)          # (24,)
+    fx = process.df_dx(x, acc, gyro)      # (24, 23)
+    fw = process.df_dw(x, acc, gyro)      # (24, 12)
+
+    x_new = st.oplus_flat(x, f_, dt)
+
+    # --- assemble f_x_final / f_w_final with per-block chart corrections ---
+    # vect rows (idx == dim for all blocks before grav): straight copy
+    f_x_final = jnp.zeros((N, N), dtype=dtype).at[0:21].set(fx[0:21])
+    f_w_final = jnp.zeros((N, st.NOISE_DIM), dtype=dtype).at[0:21].set(fw[0:21])
+    F_x1 = jnp.eye(N, dtype=dtype)
+
+    # SO3 rows (rot, offset_R): res_temp = A_matrix(-f*dt)
+    for idx in st.SO3_IDXS:
+        seg = -f_[idx:idx + 3] * dt
+        # reference F_x1 block = exp(seg, scale=0) == identity (parity quirk);
+        # nothing to set.
+        A = so3.A_matrix(seg)
+        f_x_final = f_x_final.at[idx:idx + 3].set(A @ fx[idx:idx + 3])
+        f_w_final = f_w_final.at[idx:idx + 3].set(A @ fw[idx:idx + 3])
+
+    # S2 rows (grav): Nx on the *updated* state, Mx on the prior state
+    g_idx = st.GRAV
+    seg = f_[g_idx:g_idx + 3] * dt
+    Nx = s2.Nx_yy(x_new.grav)                                   # (2,3)
+    Mx = s2.Mx(x.grav, jnp.zeros(2, dtype=dtype))               # (3,2)
+    F_x1 = F_x1.at[g_idx:g_idx + 2, g_idx:g_idx + 2].set(Nx @ Mx)
+    res2 = -Nx @ so3.hat(x.grav) @ so3.A_matrix(seg).T          # (2,3)
+    f_x_final = f_x_final.at[g_idx:g_idx + 2].set(res2 @ fx[g_idx:g_idx + 3])
+    f_w_final = f_w_final.at[g_idx:g_idx + 2].set(res2 @ fw[g_idx:g_idx + 3])
+
+    F = F_x1 + f_x_final * dt
+    Gw = dt * f_w_final
+    P_new = F @ P @ F.T + Gw @ Q @ Gw.T
+    return x_new, P_new
+
+
+def predict_scan(x: st.NavState, P, imu_stack, Q):
+    """Scan over a padded batch of IMU samples with a validity mask.
+
+    imu_stack: dict-like pytree with ``acc (K,3)``, ``gyro (K,3)``,
+    ``dt (K,)``, ``valid (K,) bool``.  Invalid samples pass through.
+    Returns final (x, P) plus the stacked propagated states (for deskew),
+    mirroring the propagated_buffer the reference fills per IMU tick
+    (Localizer.cpp:600-605).
+    """
+
+    def step(carry, u):
+        x, P = carry
+        xn, Pn = predict(x, P, u["acc"], u["gyro"], u["dt"], Q)
+        xn = jax.tree_util.tree_map(lambda a, b: jnp.where(u["valid"], a, b), xn, x)
+        Pn = jnp.where(u["valid"], Pn, P)
+        return (xn, Pn), xn
+
+    (x_f, P_f), xs = jax.lax.scan(step, (x, P), imu_stack)
+    return x_f, P_f, xs
+
+
+# ---------------------------------------------------------------------------
+# iterated update
+# ---------------------------------------------------------------------------
+
+def _chart_project_P(dx, x: st.NavState, x_prop: st.NavState, P, dx_new):
+    """Project dx_new and P through the manifold charts (esekfom.hpp:1657-1697).
+
+    Returns (dx_new', P').
+    """
+    for idx in st.SO3_IDXS:
+        res = so3.A_matrix(dx[idx:idx + 3]).T                       # (3,3)
+        dx_new = dx_new.at[idx:idx + 3].set(res @ dx_new[idx:idx + 3])
+        P = P.at[idx:idx + 3, :].set(res @ P[idx:idx + 3, :])
+        P = P.at[:, idx:idx + 3].set(P[:, idx:idx + 3] @ res.T)
+
+    g = st.GRAV
+    Nx = s2.Nx_yy(x.grav)                                           # (2,3)
+    Mx = s2.Mx(x_prop.grav, dx[g:g + 2])                            # (3,2)
+    res2 = Nx @ Mx                                                  # (2,2)
+    dx_new = dx_new.at[g:g + 2].set(res2 @ dx_new[g:g + 2])
+    P = P.at[g:g + 2, :].set(res2 @ P[g:g + 2, :])
+    P = P.at[:, g:g + 2].set(P[:, g:g + 2] @ res2.T)
+    return dx_new, P
+
+
+def _degeneracy_guard(HTH, dx_, D):
+    """Zero degenerate pose-update directions (esekfom.hpp:1736-1744)."""
+    dtype = dx_.dtype
+    w, V = jnp.linalg.eigh(HTH[0:6, 0:6])       # ascending eigenvalues, V columns
+    Vr = jnp.real(V).astype(dtype)
+    wr = jnp.real(w).astype(dtype)
+    # reference: if prod(eigvals) < 1e-20, use identity eigenvector matrix
+    use_I = jnp.prod(wr) < 1e-20
+    Vr = jnp.where(use_I, jnp.eye(6, dtype=dtype), Vr)
+    sel = jnp.where((wr < D)[:, None], jnp.zeros_like(Vr), Vr)  # zero ROWS (ref quirk)
+    head = jnp.linalg.solve(Vr, sel @ dx_[0:6])
+    return dx_.at[0:6].set(head)
+
+
+def _final_P(x: st.NavState, x_prop: st.NavState, dx_, P, K_x):
+    """Terminal covariance update (esekfom.hpp:1764-1817): P = L − K_x·P[:12,:]."""
+    L = P
+    for idx in st.SO3_IDXS:
+        res = so3.A_matrix(dx_[idx:idx + 3]).T
+        L = L.at[idx:idx + 3, :].set(res @ P[idx:idx + 3, :])
+        K_x = K_x.at[idx:idx + 3, 0:M_OBS].set(res @ K_x[idx:idx + 3, 0:M_OBS])
+        L = L.at[:, idx:idx + 3].set(L[:, idx:idx + 3] @ res.T)
+        P = P.at[:, idx:idx + 3].set(P[:, idx:idx + 3] @ res.T)
+
+    g = st.GRAV
+    Nx = s2.Nx_yy(x.grav)
+    Mx = s2.Mx(x_prop.grav, dx_[g:g + 2])
+    res2 = Nx @ Mx
+    L = L.at[g:g + 2, :].set(res2 @ P[g:g + 2, :])
+    K_x = K_x.at[g:g + 2, 0:M_OBS].set(res2 @ K_x[g:g + 2, 0:M_OBS])
+    L = L.at[:, g:g + 2].set(L[:, g:g + 2] @ res2.T)
+    P = P.at[:, g:g + 2].set(P[:, g:g + 2] @ res2.T)
+
+    return L - K_x[:, 0:M_OBS] @ P[0:M_OBS, :]
+
+
+def update_iterated(
+    x: st.NavState,
+    P,
+    h_model: Callable[[st.NavState], Tuple[jnp.ndarray, jnp.ndarray]],
+    R: float,
+    D: float,
+    max_iters: int,
+    limit: float,
+):
+    """Iterated dynamic-share update (esekfom.hpp:1620-1823).
+
+    ``h_model(x) -> (H, h)`` recomputes matches at the current iterate:
+    H is (M, 12) with zero rows for invalid/padded matches, h is (M,).
+    R is the scalar LiDAR noise, D the degeneracy eigenvalue threshold,
+    ``limit`` the per-dimension convergence limit (LIMITS broadcast,
+    main.cpp:164-166).
+
+    Returns (x', P', n_iters).
+    """
+    dtype = x.pos.dtype
+    x_prop, P_prop = x, P
+
+    def cond(carry):
+        return ~carry["done"]
+
+    def body(carry):
+        i = carry["i"]
+        x = carry["x"]
+
+        H, h = h_model(x)
+        HTH = (H.T @ H).astype(dtype)          # (12,12); zero rows are no-ops
+        HTh = (H.T @ h).astype(dtype)          # (12,)
+
+        dx = st.boxminus(x, x_prop)
+        dx_new, P_it = _chart_project_P(dx, x, x_prop, P_prop, dx)
+
+        # gain via the n×n information-form path (esekfom.hpp:1722-1729);
+        # equivalent to the m×m path by Woodbury when M > n.
+        P_temp = jnp.linalg.inv(P_it / R)
+        P_temp = P_temp.at[0:M_OBS, 0:M_OBS].add(HTH)
+        P_inv = jnp.linalg.inv(P_temp)
+        K_h = P_inv[:, 0:M_OBS] @ HTh
+        K_x = jnp.zeros((N, N), dtype=dtype).at[:, 0:M_OBS].set(P_inv[:, 0:M_OBS] @ HTH)
+
+        dx_ = K_h + (K_x - jnp.eye(N, dtype=dtype)) @ dx_new
+        dx_guarded = _degeneracy_guard(HTH, dx_, D)
+
+        x_next = st.boxplus(x, dx_guarded)
+        converged = jnp.all(jnp.abs(dx_) <= limit)
+        t_next = carry["t"] + converged.astype(jnp.int32)
+
+        done = (t_next > 1) | (i == max_iters - 1)
+        P_final = _final_P(x_next, x_prop, dx_, P_it, K_x)
+
+        return {
+            "x": x_next,
+            "P": jnp.where(done, P_final, carry["P"]),
+            "t": t_next,
+            "i": i + 1,
+            "done": done,
+        }
+
+    carry0 = {
+        "x": x,
+        "P": P,
+        "t": jnp.asarray(0, jnp.int32),
+        "i": jnp.asarray(-1, jnp.int32),  # reference loop runs i = -1 … max-1
+        "done": jnp.asarray(False),
+    }
+    out = jax.lax.while_loop(cond, body, carry0)
+    return out["x"], out["P"], out["i"] + 1

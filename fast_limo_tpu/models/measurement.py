@@ -1,0 +1,72 @@
+"""Point-to-plane measurement model for the iterated update.
+
+Fuses the reference's per-iteration chain — `Mapper::match`
+(Mapper.cpp:59-114: transform to world, kNN, plane fit, gate) and
+`Localizer::calculate_H` (Localizer.cpp:537-577: N×12 Jacobian rows,
+h = −dist) — into one batched, fixed-shape function of the current iterate.
+Invalid/padded matches produce zero rows, which contribute nothing to HᵀH /
+Hᵀh inside the filter.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from fast_limo_tpu.models import mapper as mp
+from fast_limo_tpu.models import state as st
+from fast_limo_tpu.ops import plane as plane_op
+from fast_limo_tpu.ops import so3
+
+
+class MatchStats(NamedTuple):
+    n_matches: jnp.ndarray   # () int32
+
+
+def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
+                 voxel_size: float, k: int, probes: int,
+                 max_dist_plane: float, plane_threshold: float,
+                 max_num_matches: int, estimate_extrinsics: bool):
+    """Build h_model(x) -> (H (N,12), h (N,)) over baselink-frame points pc.
+
+    ``pc`` is the deskewed pc2match cloud in the baselink (Xt2) frame,
+    already capped to MAX_NUM_PC2MATCH points (Mapper.cpp:63-69).
+    """
+
+    def h_model(x: st.NavState):
+        dtype = pc.dtype
+        # world-frame query points under the current iterate (Mapper.cpp:71-72)
+        glob = so3.quat_rotate(x.rot, pc) + x.pos
+
+        nbrs, sq, vld = mp.knn(m, glob, voxel_size=voxel_size, k=k, probes=probes)
+        n_abcd, good = plane_op.fit_planes(
+            nbrs, sq, vld, num_match_points=k,
+            max_dist_plane=max_dist_plane, plane_threshold=plane_threshold)
+
+        dist = plane_op.point_to_plane(n_abcd, glob)
+        good = good & pc_valid
+
+        # cap at MAX_NUM_MATCHES in point order (Localizer.cpp:539)
+        keep = good & (jnp.cumsum(good.astype(jnp.int32)) <= max_num_matches)
+
+        n = n_abcd[:, :3]                                     # (N,3)
+        # C = Rᵀ n ; A = p_imu × C ; B = p_lidar × (R_LIᵀ C)  (Localizer.cpp:549-569)
+        Rinv = so3.quat_to_mat(so3.quat_conj(x.rot))
+        C = n @ Rinv.T
+        p_imu = pc                                            # RT⁻¹·global == local
+        A = jnp.cross(p_imu, C)
+        RLIinv = so3.quat_to_mat(so3.quat_conj(x.rot_LI))
+        p_lidar = (p_imu - x.t_LI) @ RLIinv.T
+        B = jnp.cross(p_lidar, C @ RLIinv.T)
+
+        if estimate_extrinsics:
+            H = jnp.concatenate([n, A, B, C], axis=-1)        # (N,12)
+        else:
+            H = jnp.concatenate([n, A, jnp.zeros_like(B), jnp.zeros_like(C)], axis=-1)
+
+        H = jnp.where(keep[:, None], H, 0.0).astype(dtype)
+        h = jnp.where(keep, -dist, 0.0).astype(dtype)
+        return H, h
+
+    return h_model

@@ -1,0 +1,238 @@
+"""The fused per-scan LIO pipeline.
+
+Where the reference splits work across ROS callback threads with mutexes
+(`Localizer::updateIMU` / `Localizer::updatePointCloud`,
+Modules/Localizer.cpp:245-531), the TPU-native design compiles the entire
+measurement path into ONE XLA program per scan:
+
+    (LIOState, ScanBatch) → (LIOState', outputs)
+
+* IMU batch → `lax.scan` of covariant EKF predicts (prediction path,
+  Localizer.cpp:583-608) producing the propagated frame buffer,
+* preprocessing filters + per-sensor time handling (Localizer.cpp:262-321),
+* vectorized deskew (Localizer.cpp:733-853),
+* voxel-grid downsample → pc2match,
+* iterated manifold update with re-matching per iteration
+  (esekfom.hpp:1620-1823 + Mapper::match + calculate_H),
+* map insertion (Mapper::add).
+
+The host merely accumulates sensor data between scans and feeds padded,
+fixed-shape arrays — the "IMU must cover the scan end" condition-variable
+dance (Localizer.cpp:878-915) becomes a host-side dispatch rule.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fast_limo_tpu.models import deskew as dsk
+from fast_limo_tpu.models import iekf, mapper, measurement, preprocess
+from fast_limo_tpu.models import process as proc
+from fast_limo_tpu.models import state as st
+from fast_limo_tpu.ops import so3, voxel
+from fast_limo_tpu.utils.config import Config
+
+
+class LIOState(NamedTuple):
+    """Full device-resident SLAM state (one pytree)."""
+
+    x: st.NavState            # filter mean
+    P: jnp.ndarray            # (23,23) filter covariance
+    map: mapper.VoxelHashMap  # incremental world map
+    prev_scan_stamp: jnp.ndarray   # ()
+    last_prop_time: jnp.ndarray    # () stamp of the last integrated IMU
+    last_w_raw_bl: jnp.ndarray     # (3,) last raw baselink gyro (lever-arm chain)
+    last_w: jnp.ndarray            # (3,) last corrected gyro (frame carry-in)
+    last_a: jnp.ndarray            # (3,) last corrected accel
+    bias_gyro_corr: jnp.ndarray    # (3,) pre-correction gyro bias (this->state.b.gyro)
+    bias_accel_corr: jnp.ndarray   # (3,) pre-correction accel bias
+    pinned_grav: jnp.ndarray       # (3,) gravity pin when gravity_align
+
+
+class ScanBatch(NamedTuple):
+    """Padded per-scan input arrays.
+
+    Time convention (TPU-native, float32-safe): every time in the batch is
+    RELATIVE to this scan's header stamp (the "epoch"); the host keeps the
+    absolute float64 epoch and supplies ``epoch_shift`` = this epoch minus
+    the previous scan's epoch so the carried device state rebases itself.
+    For absolute-stamp sensors (HESAI/LIVOX) the host must rebase ``t_raw``
+    to the epoch as well (in the sensor's native units).
+    """
+
+    points: jnp.ndarray     # (N,3) raw LiDAR-frame points
+    t_raw: jnp.ndarray      # (N,) per-point time field (sensor units, epoch-relative)
+    valid: jnp.ndarray      # (N,)
+    stamp: jnp.ndarray      # () sweep reference time, epoch-relative (usually 0.0)
+    epoch_shift: jnp.ndarray  # () this epoch − previous epoch, seconds
+    imu_acc: jnp.ndarray    # (K,3) raw accel
+    imu_gyro: jnp.ndarray   # (K,3) raw gyro
+    imu_stamp: jnp.ndarray  # (K,) epoch-relative seconds
+    imu_valid: jnp.ndarray  # (K,)
+
+
+class ScanOutput(NamedTuple):
+    pos: jnp.ndarray
+    quat: jnp.ndarray
+    vel: jnp.ndarray
+    final_scan: jnp.ndarray        # (M,3) world-frame registered scan
+    final_valid: jnp.ndarray       # (M,)
+    n_iters: jnp.ndarray
+    n_deskewed: jnp.ndarray
+    n_pc2match: jnp.ndarray
+    scan_stamp: jnp.ndarray
+
+
+def init_state(cfg: Config, dtype=None) -> LIOState:
+    dtype = dtype or jnp.dtype(cfg.tpu.dtype)
+    x = st.identity(dtype, gravity=cfg.gravity)
+    R_l2b = jnp.asarray(np.array(cfg.extrinsics.lidar2baselink_R, np.float64)
+                        .reshape(3, 3).T, dtype)  # stored transposed (Localizer.cpp:82)
+    x = x._replace(
+        rot_LI=so3.mat_to_quat(R_l2b),
+        t_LI=jnp.asarray(cfg.extrinsics.lidar2baselink_t, dtype),
+        bg=jnp.asarray(cfg.intrinsics.gyro_bias, dtype),
+        ba=jnp.asarray(cfg.intrinsics.accel_bias, dtype),
+    )
+    m = mapper.create(cfg.tpu.map_capacity, cfg.map_points_per_voxel, dtype)
+    return LIOState(
+        x=x,
+        P=iekf.init_P(dtype),
+        map=m,
+        prev_scan_stamp=jnp.asarray(0.0, jnp.float32),
+        last_prop_time=jnp.asarray(0.0, jnp.float32),
+        last_w_raw_bl=jnp.zeros(3, dtype),
+        last_w=jnp.zeros(3, dtype),
+        last_a=jnp.zeros(3, dtype),
+        bias_gyro_corr=jnp.asarray(cfg.intrinsics.gyro_bias, dtype),
+        bias_accel_corr=jnp.asarray(cfg.intrinsics.accel_bias, dtype),
+        pinned_grav=x.grav,
+    )
+
+
+def build_scan_step(cfg: Config, *, donate: bool = True, jit: bool = True):
+    """Compile the per-scan step for a static config."""
+    mp_cfg = cfg.ikfom.mapping
+    voxel_size = cfg.map_voxel_size
+    probes = cfg.tpu.hash_probes
+    k = mp_cfg.NUM_MATCH_POINTS
+    n_pc2match = mp_cfg.MAX_NUM_PC2MATCH
+    dtype = jnp.dtype(cfg.tpu.dtype)
+
+    R_imu2bl = jnp.asarray(
+        np.array(cfg.extrinsics.imu2baselink_R, np.float64).reshape(3, 3).T, dtype)
+    t_imu2bl = jnp.asarray(cfg.extrinsics.imu2baselink_t, dtype)
+    sm = jnp.asarray(np.array(cfg.intrinsics.imu_sm, np.float64).reshape(3, 3), dtype)
+    Q = proc.process_noise_Q(cfg.ikfom.cov_gyro, cfg.ikfom.cov_acc,
+                             cfg.ikfom.cov_bias_gyro, cfg.ikfom.cov_bias_acc, dtype)
+
+    def scan_step(s: LIOState, b: ScanBatch) -> Tuple[LIOState, ScanOutput]:
+        # ---- rebase carried times onto this scan's epoch ----
+        s = s._replace(
+            prev_scan_stamp=s.prev_scan_stamp - b.epoch_shift,
+            last_prop_time=s.last_prop_time - b.epoch_shift,
+        )
+
+        # ---- IMU path: baselink transform, intrinsics, batched predict ----
+        acc_bl, gyro_bl, dt = preprocess.imu_to_baselink(
+            b.imu_acc, b.imu_gyro, b.imu_stamp, s.last_prop_time, s.last_w_raw_bl,
+            R_imu2bl=R_imu2bl, t_imu2bl=t_imu2bl)
+        acc_c, gyro_c = preprocess.apply_intrinsics(
+            acc_bl, gyro_bl, sm, s.bias_accel_corr, s.bias_gyro_corr)
+
+        imu = {"acc": acc_c, "gyro": gyro_c, "dt": dt.astype(dtype),
+               "stamp": b.imu_stamp, "valid": b.imu_valid}
+        x_t2, P_t2, xs = iekf.predict_scan(s.x, s.P, imu, Q)
+
+        n_imu = jnp.sum(b.imu_valid)
+        last_i = jnp.maximum(n_imu - 1, 0)
+        imu_stamp_now = jnp.where(n_imu > 0, b.imu_stamp[last_i], s.last_prop_time)
+
+        # ---- scan path: filters, time sort, offset ----
+        pts, t_abs, pvalid, scan_end = preprocess.preprocess_scan(
+            b.points, b.t_raw, b.valid, b.stamp, imu_stamp_now,
+            sensor_type=cfg.sensor_type, end_of_sweep=cfg.end_of_sweep,
+            crop_active=cfg.filters.crop_active,
+            crop_min=cfg.filters.cropBoxMin, crop_max=cfg.filters.cropBoxMax,
+            dist_active=cfg.filters.dist_active, min_dist=cfg.filters.min_dist,
+            rate_active=cfg.filters.rate_active, rate_value=cfg.filters.rate_value,
+            fov_active=cfg.filters.fov_active, fov_angle=cfg.filters.fov_angle,
+            time_offset=cfg.time_offset)
+
+        # ---- deskew into the Xt2 frame ----
+        frames = dsk.frames_from_scan(
+            s.x, s.last_prop_time, s.last_w, s.last_a, xs, imu)
+        p_xt2, _p_world = dsk.deskew(
+            pts, t_abs, pvalid, frames, x_t2, x_t2.rot_LI, x_t2.t_LI)
+
+        # ---- voxel-grid downsample → pc2match (cap MAX_NUM_PC2MATCH) ----
+        if cfg.filters.voxel_active:
+            pc_ds, ds_valid = voxel.voxel_downsample(
+                p_xt2, pvalid, float(cfg.filters.leafSize[0]))
+        else:
+            pc_ds, ds_valid = p_xt2, pvalid
+        pc2match = pc_ds[:n_pc2match]
+        pc2_valid = ds_valid[:n_pc2match]
+
+        # ---- iterated manifold update (re-matching per iteration) ----
+        h_model = measurement.make_h_model(
+            s.map, pc2match, pc2_valid,
+            voxel_size=voxel_size, k=k, probes=probes,
+            max_dist_plane=mp_cfg.MAX_DIST_PLANE,
+            plane_threshold=mp_cfg.PLANE_THRESHOLD,
+            max_num_matches=mp_cfg.MAX_NUM_MATCHES,
+            estimate_extrinsics=cfg.ikfom.estimate_extrinsics)
+        x_u, P_u, n_iters = iekf.update_iterated(
+            x_t2, P_t2, h_model,
+            R=cfg.ikfom.lidar_noise, D=cfg.ikfom.degeneracy_thresh,
+            max_iters=cfg.ikfom.MAX_NUM_ITERS, limit=cfg.ikfom.LIMITS)
+
+        # skip the update entirely when the scan is degenerate/empty
+        # (NULL ITERATION, Localizer.cpp:323,379-380)
+        do_update = jnp.sum(pc2_valid) > 1
+        x_u = jax.tree_util.tree_map(
+            lambda a, b_: jnp.where(do_update, a, b_), x_u, x_t2)
+        P_u = jnp.where(do_update, P_u, P_t2)
+
+        # ---- register scan & grow the map (Mapper::add) ----
+        w_scan = so3.quat_rotate(x_u.rot, pc2match) + x_u.pos
+        new_map = mapper.insert(
+            s.map, w_scan, pc2_valid & do_update,
+            voxel_size=voxel_size, probes=probes)
+        new_map = new_map._replace(last_time=scan_end.astype(jnp.float32))
+
+        # ---- mirror-state bias/gravity pinning (Localizer.cpp:344-346) ----
+        bg_corr = s.bias_gyro_corr if cfg.calibrate_gyro else x_u.bg
+        ba_corr = s.bias_accel_corr if cfg.calibrate_accel else x_u.ba
+
+        # carry-in data for the next scan's frames
+        last_valid = lambda arr, prev: jnp.where(n_imu > 0, arr[last_i], prev)
+        s_next = LIOState(
+            x=x_u, P=P_u, map=new_map,
+            prev_scan_stamp=scan_end,
+            last_prop_time=jnp.where(n_imu > 0, b.imu_stamp[last_i],
+                                     s.last_prop_time),
+            last_w_raw_bl=last_valid(gyro_bl, s.last_w_raw_bl),
+            last_w=last_valid(gyro_c, s.last_w),
+            last_a=last_valid(acc_c, s.last_a),
+            bias_gyro_corr=bg_corr,
+            bias_accel_corr=ba_corr,
+            pinned_grav=s.pinned_grav,
+        )
+
+        out = ScanOutput(
+            pos=x_u.pos, quat=x_u.rot, vel=x_u.vel,
+            final_scan=w_scan, final_valid=pc2_valid & do_update,
+            n_iters=n_iters, n_deskewed=jnp.sum(pvalid),
+            n_pc2match=jnp.sum(pc2_valid), scan_stamp=scan_end,
+        )
+        return s_next, out
+
+    if jit:
+        return jax.jit(scan_step, donate_argnums=(0,) if donate else ())
+    return scan_step
