@@ -1,0 +1,202 @@
+"""Deterministic synthetic LiDAR-inertial world for tests & benchmarks.
+
+Generates an analytically-known trajectory through a piecewise-planar world
+(ground + walls), emitting:
+
+* IMU measurements at ``imu_rate`` — specific force ``Rᵀ(a − g)`` + gyro,
+  with optional constant biases and noise,
+* LiDAR scans at ``scan_rate`` — world points observed from the *exact*
+  sensor pose at each point's firing time (so deskew has real work to do),
+  in the Velodyne time convention (relative seconds, ``sensor_type=1``).
+
+The trajectory is a smooth sinusoidal drive: forward x-velocity plus lateral
+weave and yaw oscillation — shaped after the KITTI 0034 regime the reference
+showcases (~20 m/s, ~35 °/s, README.md:66-71).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+
+G = 9.81
+
+
+@dataclass
+class Trajectory:
+    """Smooth drive starting AT REST (zero velocity/yaw-rate at t=0) — the
+    filter initializes stationary like the reference does."""
+
+    v_forward: float = 8.0        # m/s terminal speed
+    ramp_tau: float = 1.0         # s speed ramp constant
+    weave_amp: float = 1.5        # m lateral (peak-to-peak/2)
+    weave_freq: float = 0.18      # Hz
+    yaw_amp: float = 0.35         # rad (peak)
+    yaw_freq: float = 0.15        # Hz
+    z_amp: float = 0.1
+    z_freq: float = 0.4
+
+    # lateral/vertical/yaw use (1 - cos) envelopes → zero rate at t=0
+    def pos(self, t):
+        t = np.asarray(t, float)
+        tau = self.ramp_tau
+        ww = 2 * np.pi * self.weave_freq
+        wz = 2 * np.pi * self.z_freq
+        return np.stack([
+            self.v_forward * (t + tau * (np.exp(-t / tau) - 1.0)),
+            self.weave_amp / 2 * (1 - np.cos(ww * t)),
+            self.z_amp / 2 * (1 - np.cos(wz * t)),
+        ], axis=-1)
+
+    def vel(self, t):
+        t = np.asarray(t, float)
+        tau = self.ramp_tau
+        ww = 2 * np.pi * self.weave_freq
+        wz = 2 * np.pi * self.z_freq
+        return np.stack([
+            self.v_forward * (1.0 - np.exp(-t / tau)),
+            self.weave_amp / 2 * ww * np.sin(ww * t),
+            self.z_amp / 2 * wz * np.sin(wz * t),
+        ], axis=-1)
+
+    def acc(self, t):
+        t = np.asarray(t, float)
+        tau = self.ramp_tau
+        ww = 2 * np.pi * self.weave_freq
+        wz = 2 * np.pi * self.z_freq
+        return np.stack([
+            self.v_forward / tau * np.exp(-t / tau),
+            self.weave_amp / 2 * ww * ww * np.cos(ww * t),
+            self.z_amp / 2 * wz * wz * np.cos(wz * t),
+        ], axis=-1)
+
+    def yaw(self, t):
+        wy = 2 * np.pi * self.yaw_freq
+        return self.yaw_amp / 2 * (1 - np.cos(wy * np.asarray(t, float)))
+
+    def yaw_rate(self, t):
+        wy = 2 * np.pi * self.yaw_freq
+        return self.yaw_amp / 2 * wy * np.sin(wy * np.asarray(t, float))
+
+    def rot(self, t):
+        """World←body rotation matrices (yaw only), (…,3,3)."""
+        y = self.yaw(t)
+        c, s = np.cos(y), np.sin(y)
+        z = np.zeros_like(c)
+        o = np.ones_like(c)
+        return np.stack([
+            np.stack([c, -s, z], axis=-1),
+            np.stack([s, c, z], axis=-1),
+            np.stack([z, z, o], axis=-1),
+        ], axis=-2)
+
+    def quat(self, t):
+        y = self.yaw(t)
+        return np.stack([np.cos(y / 2), np.zeros_like(y), np.zeros_like(y),
+                         np.sin(y / 2)], axis=-1)
+
+
+def build_world(seed: int, extent: float = 400.0, n_wall_pts: int = 150_000,
+                n_ground_pts: int = 150_000, corridor_half_width: float = 14.0):
+    """Points on planar surfaces along the +x corridor the trajectory follows."""
+    rng = np.random.default_rng(seed)
+    # ground plane z ~ 0
+    gx = rng.uniform(-20, extent, n_ground_pts)
+    gy = rng.uniform(-corridor_half_width, corridor_half_width, n_ground_pts)
+    ground = np.stack([gx, gy, np.zeros_like(gx)], axis=-1)
+
+    # wall segments: vertical planes alternating sides, plus some tilted facades
+    walls = []
+    n_seg = 40
+    per_seg = n_wall_pts // n_seg
+    for i in range(n_seg):
+        x0 = -20 + (extent + 20) * i / n_seg
+        side = -1 if i % 2 else 1
+        yw = side * corridor_half_width * rng.uniform(0.8, 1.0)
+        # wall normal mostly ±y with a small random tilt
+        tilt = rng.normal(0, 0.08, 2)
+        xs = x0 + rng.uniform(0, (extent + 20) / n_seg * 1.4, per_seg)
+        zs = rng.uniform(0.0, 6.0, per_seg)
+        ys = yw + tilt[0] * (xs - x0) + tilt[1] * zs
+        walls.append(np.stack([xs, ys, zs], axis=-1))
+    world = np.concatenate([ground] + walls).astype(np.float32)
+    return world
+
+
+@dataclass
+class SyntheticSequence:
+    seed: int = 0
+    n_scans: int = 40
+    scan_rate: float = 10.0
+    imu_rate: float = 100.0
+    points_per_scan: int = 8192
+    max_range: float = 60.0
+    min_range: float = 2.0
+    noise_pt: float = 0.01          # per-point range noise (m)
+    noise_gyro: float = 1e-3
+    noise_acc: float = 1e-2
+    bias_gyro: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    bias_acc: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    traj: Trajectory = None
+
+    def __post_init__(self):
+        self.traj = self.traj or Trajectory()
+        self.world = build_world(self.seed)
+        self._rng = np.random.default_rng(self.seed + 1)
+
+    # ---- IMU ----
+    def imu_stream(self):
+        """All IMU samples covering the sequence: (stamps, acc, gyro)."""
+        t_end = (self.n_scans + 1) / self.scan_rate
+        stamps = np.arange(1, int(t_end * self.imu_rate) + 2) / self.imu_rate
+        R = self.traj.rot(stamps)                       # (K,3,3)
+        a_w = self.traj.acc(stamps)
+        g_w = np.array([0, 0, -G])
+        f_w = a_w - g_w
+        acc = np.einsum("kij,kj->ki", R.transpose(0, 2, 1), f_w)
+        gyro = np.stack([np.zeros_like(stamps), np.zeros_like(stamps),
+                         self.traj.yaw_rate(stamps)], axis=-1)
+        acc = acc + self.bias_acc + self._rng.normal(0, self.noise_acc, acc.shape)
+        gyro = gyro + self.bias_gyro + self._rng.normal(0, self.noise_gyro, gyro.shape)
+        return stamps, acc.astype(np.float32), gyro.astype(np.float32)
+
+    # ---- scans ----
+    def scan(self, i: int):
+        """Scan i: (stamp, points (M,3) lidar frame, t_raw (M,) velodyne-relative)."""
+        stamp = (i + 1) / self.scan_rate
+        M = self.points_per_scan
+        # visible world points near the sensor at scan start
+        p0 = self.traj.pos(stamp)
+        d = np.linalg.norm(self.world - p0.astype(np.float32), axis=1)
+        vis = np.nonzero((d > self.min_range) & (d < self.max_range))[0]
+        if len(vis) < M:
+            pick = self._rng.choice(vis, M, replace=True)
+        else:
+            pick = self._rng.choice(vis, M, replace=False)
+        pw = self.world[pick].astype(np.float64)
+
+        # firing times spread over the sweep
+        t_rel = self._rng.uniform(0.0, 1.0 / self.scan_rate, M)
+        t_abs = stamp + t_rel
+        # exact sensor pose at firing time
+        R = self.traj.rot(t_abs)                        # (M,3,3)
+        p = self.traj.pos(t_abs)
+        pl = np.einsum("mij,mj->mi", R.transpose(0, 2, 1), pw - p)
+        pl += self._rng.normal(0, self.noise_pt, pl.shape)
+        return stamp, pl.astype(np.float32), t_rel.astype(np.float32)
+
+    def gt_pose(self, t):
+        return self.traj.pos(t), self.traj.quat(t)
+
+
+def ate_rmse(est_pos: np.ndarray, gt_pos: np.ndarray) -> float:
+    """Absolute trajectory error after Umeyama (rigid, no scale) alignment."""
+    mu_e, mu_g = est_pos.mean(0), gt_pos.mean(0)
+    E, Gm = est_pos - mu_e, gt_pos - mu_g
+    U, _, Vt = np.linalg.svd(E.T @ Gm)
+    S = np.diag([1, 1, np.sign(np.linalg.det(U @ Vt))])
+    R = (U @ S @ Vt).T
+    aligned = (est_pos - mu_e) @ R.T + mu_g
+    return float(np.sqrt(np.mean(np.sum((aligned - gt_pos) ** 2, axis=1))))

@@ -1,0 +1,224 @@
+"""Host-side streaming orchestrator.
+
+The counterpart of `fast_limo::Localizer`'s public surface
+(Modules/Localizer.hpp:138-201) minus the ROS glue: it buffers IMU samples,
+runs the stand-still IMU calibration procedure (Localizer.cpp:411-509),
+decides when a scan is dispatchable (the condition-variable "IMU must cover
+the scan end" rule, Localizer.cpp:878-915, turned into a queue check), pads
+everything to static shapes, and feeds the jitted `scan_step`.
+
+No singletons — construct as many as you like.  Absolute time lives here in
+float64; the device only ever sees float32 offsets from the current scan
+epoch (see models/pipeline.py ScanBatch).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from fast_limo_tpu.models import pipeline as pl
+from fast_limo_tpu.models import preprocess
+from fast_limo_tpu.utils.config import Config
+
+
+@dataclass
+class _PendingScan:
+    stamp: float
+    points: np.ndarray
+    t_raw: np.ndarray
+    last_pt_time: float
+
+
+class Localizer:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.scan_step = pl.build_scan_step(cfg)
+        self.state: Optional[pl.LIOState] = None          # device state (after calib)
+        self.epoch: Optional[float] = None                # absolute epoch (f64)
+
+        self._imu_queue: deque = deque()                  # (stamp, acc, gyro) pending
+        self._scan_queue: deque = deque()
+        self._newest_imu_stamp: float = -np.inf
+        self._imu_period_est: float = 1.0 / 200.0
+
+        # calibration (Localizer.cpp:411-509)
+        self.imu_calibrated = not (cfg.gravity_align or cfg.calibrate_accel
+                                   or cfg.calibrate_gyro)
+        self._first_imu_stamp: Optional[float] = None
+        self._calib_gyro_sum = np.zeros(3)
+        self._calib_accel_sum = np.zeros(3)
+        self._calib_n = 0
+        self.init_quat = np.array([1.0, 0, 0, 0])
+        self.init_bg = np.asarray(cfg.intrinsics.gyro_bias, float)
+        self.init_ba = np.asarray(cfg.intrinsics.accel_bias, float)
+
+        self.trajectory: List[dict] = []                  # per-scan outputs
+        self._R_imu2bl = np.array(cfg.extrinsics.imu2baselink_R, float).reshape(3, 3).T
+
+    # ------------------------------------------------------------------ IMU
+    def update_imu(self, stamp: float, acc, gyro) -> None:
+        acc = np.asarray(acc, float)
+        gyro = np.asarray(gyro, float)
+        if self._first_imu_stamp is None:
+            self._first_imu_stamp = stamp
+        if self._newest_imu_stamp > -np.inf:
+            dtp = stamp - self._newest_imu_stamp
+            if 0 < dtp < 0.1:
+                self._imu_period_est = dtp
+        self._newest_imu_stamp = stamp
+
+        if not self.imu_calibrated:
+            if (stamp - self._first_imu_stamp) < self.cfg.imu_calib_time:
+                # accumulate in the baselink frame (imu2baselink then average)
+                self._calib_gyro_sum += self._R_imu2bl @ gyro
+                self._calib_accel_sum += self._R_imu2bl @ acc
+                self._calib_n += 1
+                return
+            self._finish_calibration()
+
+        self._imu_queue.append((stamp, acc, gyro))
+        self._drain()
+
+    def _finish_calibration(self) -> None:
+        """Gravity alignment & bias averaging (Localizer.cpp:437-509)."""
+        n = max(self._calib_n, 1)
+        gyro_avg = self._calib_gyro_sum / n
+        accel_avg = self._calib_accel_sum / n
+        grav_vec = np.array([0.0, 0.0, self.cfg.gravity])
+
+        if self.cfg.gravity_align:
+            gv = accel_avg - self.init_ba
+            grav_vec = gv / np.linalg.norm(gv) * abs(self.cfg.gravity)
+            # quaternion rotating measured gravity onto +z·g (FromTwoVectors)
+            a, b = grav_vec, np.array([0.0, 0.0, self.cfg.gravity])
+            v = np.cross(a, b)
+            w = np.linalg.norm(a) * np.linalg.norm(b) + a @ b
+            q = np.concatenate([[w], v])
+            self.init_quat = q / np.linalg.norm(q)
+        if self.cfg.calibrate_accel:
+            self.init_ba = accel_avg - grav_vec
+        if self.cfg.calibrate_gyro:
+            self.init_bg = gyro_avg
+
+        self.imu_calibrated = True
+
+    # ------------------------------------------------------------------ scan
+    def update_pointcloud(self, points, t_raw, stamp: float) -> None:
+        """Queue a scan; dispatched once IMU coverage reaches its end time."""
+        if not self.imu_calibrated:
+            return
+        points = np.ascontiguousarray(points, np.float32)
+        t_raw = np.ascontiguousarray(t_raw, np.float32)
+        t_abs = preprocess.extract_point_times(
+            t_raw.astype(np.float64), stamp, self.cfg.sensor_type, self.cfg.end_of_sweep)
+        last_pt = float(np.max(t_abs)) if len(t_abs) else stamp
+        self._scan_queue.append(_PendingScan(stamp, points, t_raw, last_pt))
+        self._drain()
+
+    # ------------------------------------------------------------------ core
+    def _drain(self) -> None:
+        while self._scan_queue:
+            scan = self._scan_queue[0]
+            cover = scan.last_pt_time  # need an IMU sample at/after scan end
+            if self._newest_imu_stamp < cover:
+                return
+            self._scan_queue.popleft()
+            self._dispatch(scan)
+
+    def _dispatch(self, scan: _PendingScan) -> None:
+        cfg = self.cfg
+        if self.state is None:
+            self._init_device_state(scan.stamp)
+
+        # IMU batch: every pending sample up to (incl.) the first one ≥ scan end
+        batch = []
+        while self._imu_queue:
+            batch.append(self._imu_queue.popleft())
+            if batch[-1][0] >= scan.last_pt_time:
+                break
+
+        K = cfg.tpu.imu_batch
+        if len(batch) > K:
+            raise RuntimeError(
+                f"IMU batch {len(batch)} exceeds tpu.imu_batch={K}; raise the cap")
+        N = cfg.tpu.max_points_per_scan
+        npts = len(scan.points)
+        if npts > N:
+            # uniform stride-downsample overflowing scans (static-shape cap)
+            sel = np.linspace(0, npts - 1, N).astype(np.int64)
+            pts, traw = scan.points[sel], scan.t_raw[sel]
+            npts = N
+        else:
+            pts, traw = scan.points, scan.t_raw
+
+        new_epoch = scan.stamp
+        epoch_shift = 0.0 if self.epoch is None else new_epoch - self.epoch
+        self.epoch = new_epoch
+
+        points = np.zeros((N, 3), np.float32)
+        t_raw = np.zeros(N, np.float32)
+        valid = np.zeros(N, bool)
+        points[:npts] = pts
+        t_raw[:npts] = traw
+        valid[:npts] = True
+
+        imu_acc = np.zeros((K, 3), np.float32)
+        imu_gyro = np.zeros((K, 3), np.float32)
+        imu_stamp = np.zeros(K, np.float32)
+        imu_valid = np.zeros(K, bool)
+        for i, (s, a, g) in enumerate(batch):
+            imu_stamp[i] = s - new_epoch
+            imu_acc[i] = a
+            imu_gyro[i] = g
+            imu_valid[i] = True
+
+        b = pl.ScanBatch(
+            points=jnp.asarray(points), t_raw=jnp.asarray(t_raw),
+            valid=jnp.asarray(valid),
+            stamp=jnp.asarray(0.0, jnp.float32),
+            epoch_shift=jnp.asarray(epoch_shift, jnp.float32),
+            imu_acc=jnp.asarray(imu_acc), imu_gyro=jnp.asarray(imu_gyro),
+            imu_stamp=jnp.asarray(imu_stamp), imu_valid=jnp.asarray(imu_valid),
+        )
+        self.state, out = self.scan_step(self.state, b)
+        self.trajectory.append({
+            "stamp": self.epoch + float(out.scan_stamp),
+            "pos": np.asarray(out.pos),
+            "quat": np.asarray(out.quat),
+            "vel": np.asarray(out.vel),
+            "n_iters": int(out.n_iters),
+            "n_pc2match": int(out.n_pc2match),
+        })
+
+    def _init_device_state(self, first_stamp: float) -> None:
+        cfg = self.cfg
+        s = pl.init_state(cfg)
+        dtype = s.x.pos.dtype
+        x = s.x._replace(
+            rot=jnp.asarray(self.init_quat, dtype),
+            bg=jnp.asarray(self.init_bg, dtype),
+            ba=jnp.asarray(self.init_ba, dtype),
+        )
+        # carried times are epoch-relative; first epoch == first scan stamp
+        prev_time = (self._imu_queue[0][0] - first_stamp - self._imu_period_est
+                     if self._imu_queue else -self._imu_period_est)
+        self.state = s._replace(
+            x=x,
+            last_prop_time=jnp.asarray(prev_time, jnp.float32),
+            bias_gyro_corr=jnp.array(x.bg, copy=True),
+            bias_accel_corr=jnp.array(x.ba, copy=True),
+            pinned_grav=jnp.array(x.grav, copy=True),
+        )
+        self.epoch = first_stamp
+
+    # ------------------------------------------------------------------ query
+    def positions(self) -> np.ndarray:
+        return np.array([t["pos"] for t in self.trajectory])
+
+    def stamps(self) -> np.ndarray:
+        return np.array([t["stamp"] for t in self.trajectory])

@@ -137,7 +137,7 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 16) 
         counts_a = counts_a.at[jnp.where(place, slot, capacity)].add(placed_n, mode="drop")
         # ensure claimed-but-unfilled slots still count as occupied: a winner
         # always has rank 0 → pos 0 < bucket, so it always places. (bucket>=1)
-        total = total + jnp.sum(placed_n)
+        total = total + jnp.sum(placed_n, dtype=jnp.int32)
 
         pending = pending & ~resolves  # resolved (placed or bucket-full drop)
         return coords_a, points_a, counts_a, total, pending

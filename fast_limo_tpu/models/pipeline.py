@@ -109,9 +109,9 @@ def init_state(cfg: Config, dtype=None) -> LIOState:
         last_w_raw_bl=jnp.zeros(3, dtype),
         last_w=jnp.zeros(3, dtype),
         last_a=jnp.zeros(3, dtype),
-        bias_gyro_corr=jnp.asarray(cfg.intrinsics.gyro_bias, dtype),
-        bias_accel_corr=jnp.asarray(cfg.intrinsics.accel_bias, dtype),
-        pinned_grav=x.grav,
+        bias_gyro_corr=jnp.array(x.bg, copy=True),
+        bias_accel_corr=jnp.array(x.ba, copy=True),
+        pinned_grav=jnp.array(x.grav, copy=True),
     )
 
 

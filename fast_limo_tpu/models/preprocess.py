@@ -89,7 +89,9 @@ def imu_to_baselink(acc, gyro, stamp, prev_stamp, prev_w_bl, *,
     Returns (acc_bl (K,3), gyro_bl (K,3), dt (K,)).
     """
     dt = stamp - jnp.concatenate([prev_stamp[None], stamp[:-1]])
-    dt = jnp.where((dt == 0.0) | (dt > 0.1), 1.0 / 200.0, dt)  # clamp (cpp:702)
+    # clamp (cpp:702); dt ≤ 0 also clamped (covers the first-ever sample,
+    # where the reference's prev_imu_stamp=0 forces the >0.1 branch)
+    dt = jnp.where((dt <= 0.0) | (dt > 0.1), 1.0 / 200.0, dt)
 
     w_bl = gyro @ R_imu2bl.T
     w_prev = jnp.concatenate([prev_w_bl[None], w_bl[:-1]], axis=0)

@@ -1,0 +1,112 @@
+"""Voxel-hash map: insertion semantics + kNN vs brute force."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from fast_limo_tpu.models import mapper
+
+VOX = 0.4
+
+
+def make_map(bucket=4, cap=4096):
+    return mapper.create(cap, bucket)
+
+
+class TestInsert:
+    def test_insert_counts(self, rng):
+        m = make_map()
+        pts = rng.uniform(-10, 10, (500, 3)).astype(np.float32)
+        m = mapper.insert(m, jnp.asarray(pts), jnp.ones(500, bool), voxel_size=VOX)
+        assert int(m.num_points) > 0
+        assert int(m.num_points) <= 500
+        assert int(jnp.sum(m.counts)) == int(m.num_points)
+
+    def test_bucket_cap_respected(self, rng):
+        m = make_map(bucket=2)
+        # 50 points all in one voxel
+        pts = (rng.uniform(0, 0.3, (50, 3))).astype(np.float32)
+        m = mapper.insert(m, jnp.asarray(pts), jnp.ones(50, bool), voxel_size=VOX)
+        assert int(m.num_points) == 2
+        assert int(jnp.max(m.counts)) == 2
+
+    def test_incremental_insert_dedup(self, rng):
+        m = make_map(bucket=1)
+        pts = rng.uniform(-5, 5, (200, 3)).astype(np.float32)
+        m1 = mapper.insert(m, jnp.asarray(pts), jnp.ones(200, bool), voxel_size=VOX)
+        n1 = int(m1.num_points)
+        # re-inserting the same points must not grow the map (full buckets reject)
+        m2 = mapper.insert(m1, jnp.asarray(pts), jnp.ones(200, bool), voxel_size=VOX)
+        assert int(m2.num_points) == n1
+
+    def test_occupied_voxels_match_numpy(self, rng):
+        m = make_map(bucket=1)
+        pts = rng.uniform(-20, 20, (1000, 3)).astype(np.float32)
+        m = mapper.insert(m, jnp.asarray(pts), jnp.ones(1000, bool), voxel_size=VOX)
+        want = len(np.unique(np.floor(pts / VOX).astype(np.int32), axis=0))
+        assert int(m.num_points) == want
+
+    def test_invalid_points_ignored(self, rng):
+        m = make_map()
+        pts = rng.uniform(-5, 5, (100, 3)).astype(np.float32)
+        valid = np.zeros(100, bool)
+        valid[:10] = True
+        m = mapper.insert(m, jnp.asarray(pts), jnp.asarray(valid), voxel_size=VOX)
+        assert int(m.num_points) <= 10
+        stored = np.asarray(m.points[m.counts > 0])
+        # every stored point is one of the first 10
+        for p in stored.reshape(-1, 3):
+            if np.all(p == 0):
+                continue
+            assert np.min(np.linalg.norm(pts[:10] - p, axis=1)) < 1e-6
+
+
+class TestKNN:
+    def _brute_knn(self, stored, q, k):
+        d = np.linalg.norm(stored - q, axis=1) ** 2
+        idx = np.argsort(d)[:k]
+        return d[idx]
+
+    def test_knn_matches_brute_force_within_radius(self, rng):
+        m = make_map(bucket=8, cap=8192)
+        pts = rng.uniform(-8, 8, (3000, 3)).astype(np.float32)
+        m = mapper.insert(m, jnp.asarray(pts), jnp.ones(3000, bool), voxel_size=VOX)
+
+        # reconstruct stored points (bucketing may drop some originals)
+        mask = np.asarray(m.counts) > 0
+        stored = []
+        cnts = np.asarray(m.counts)
+        P = np.asarray(m.points)
+        for s in np.nonzero(mask)[0]:
+            stored.append(P[s, :cnts[s]])
+        stored = np.concatenate(stored)
+
+        qs = rng.uniform(-6, 6, (50, 3)).astype(np.float32)
+        nbrs, sq, valid = mapper.knn(m, jnp.asarray(qs), voxel_size=VOX, k=5)
+        sq = np.asarray(sq)
+        for i, q in enumerate(qs):
+            want = self._brute_knn(stored, q, 5)
+            got = sq[i]
+            # the 27-voxel neighborhood only guarantees neighbors within one
+            # voxel edge of the query's voxel — compare those
+            r2 = VOX * VOX
+            wm = want[want < r2]
+            gm = got[got < r2]
+            np.testing.assert_allclose(gm[: len(wm)], wm[: len(gm)], rtol=1e-5)
+
+    def test_knn_sorted_ascending(self, rng):
+        m = make_map(bucket=4)
+        pts = rng.uniform(-4, 4, (2000, 3)).astype(np.float32)
+        m = mapper.insert(m, jnp.asarray(pts), jnp.ones(2000, bool), voxel_size=VOX)
+        qs = rng.uniform(-3, 3, (20, 3)).astype(np.float32)
+        _, sq, valid = mapper.knn(m, jnp.asarray(qs), voxel_size=VOX, k=5)
+        sq = np.asarray(sq)
+        finite = np.isfinite(sq)
+        for row, fm in zip(sq, finite):
+            vals = row[fm]
+            assert np.all(np.diff(vals) >= 0)
+
+    def test_knn_empty_map(self):
+        m = make_map()
+        qs = jnp.zeros((4, 3))
+        _, sq, valid = mapper.knn(m, qs, voxel_size=VOX, k=5)
+        assert not bool(jnp.any(valid))
