@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Benchmark: steady-state LIO scan throughput on the attached accelerator.
+
+Feeds KITTI-HDL64-shaped synthetic scans (32k padded points, 100 Hz IMU,
+10 Hz LiDAR) through the fused jitted scan_step and reports scans/s.
+
+Baseline: the reference fast_LIMO runs REAL-TIME on a desktop CPU at 10 Hz
+scan rate (README.md:66-71; it publishes no numeric tables — see BASELINE.md),
+so vs_baseline = scans_per_s / 10.
+
+Prints exactly one JSON line:
+    {"metric": "scan_throughput", "value": N, "unit": "scans/s", "vs_baseline": N/10}
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+
+import jax
+import numpy as np
+
+from fast_limo_tpu.io import synthetic
+from fast_limo_tpu.models.localizer import Localizer
+from fast_limo_tpu.utils.config import Config
+
+
+def kitti_like_cfg() -> Config:
+    cfg = Config()
+    cfg.sensor_type = 1
+    cfg.gravity_align = False
+    cfg.calibrate_accel = False
+    cfg.calibrate_gyro = False
+    cfg.time_offset = False
+    cfg.debug = cfg.verbose = False
+    cfg.intrinsics.accel_bias = [0.0, 0.0, 0.0]
+    cfg.intrinsics.gyro_bias = [0.0, 0.0, 0.0]
+    cfg.filters.crop_active = True
+    cfg.filters.dist_active = True
+    cfg.filters.min_dist = 2.0
+    cfg.filters.rate_active = False
+    cfg.filters.voxel_active = True
+    cfg.filters.leafSize = [1.0, 1.0, 1.0]       # kitti.yaml:61
+    cfg.ikfom.MAX_NUM_ITERS = 3                  # kitti.yaml:76
+    cfg.ikfom.mapping.MAX_NUM_MATCHES = 5000     # kitti.yaml:77
+    cfg.ikfom.mapping.MAX_NUM_PC2MATCH = 10000   # kitti.yaml:78
+    cfg.ikfom.mapping.octree.min_extent = 0.2    # kitti.yaml:87
+    cfg.ikfom.estimate_extrinsics = True
+    cfg.tpu.max_points_per_scan = 32768
+    cfg.tpu.map_capacity = 2 ** 19
+    cfg.tpu.map_points_per_voxel = 1
+    cfg.tpu.imu_batch = 32
+    cfg.tpu.hash_probes = 16
+    return cfg
+
+
+def main():
+    n_warm, n_meas = 6, 30
+    n_scans = n_warm + n_meas
+    seq = synthetic.SyntheticSequence(
+        seed=7, n_scans=n_scans, points_per_scan=32768,
+        noise_pt=0.01, noise_gyro=5e-4, noise_acc=5e-3,
+        traj=synthetic.Trajectory(v_forward=15.0, yaw_amp=0.5))
+    cfg = kitti_like_cfg()
+    loc = Localizer(cfg)
+
+    stamps, acc, gyro = seq.imu_stream()
+    scans = [seq.scan(i) for i in range(n_scans)]
+
+    # pre-feed IMU + warmup scans (compile happens on the first dispatch)
+    si = 0
+    t_meas_start = None
+    for k in range(len(stamps)):
+        loc.update_imu(stamps[k], acc[k], gyro[k])
+        while si < n_scans and scans[si][0] <= stamps[k]:
+            st_, pts, traw = scans[si]
+            if si == n_warm:
+                jax.block_until_ready(loc.state)
+                t_meas_start = time.perf_counter()
+            loc.update_pointcloud(pts, traw, st_)
+            si += 1
+    jax.block_until_ready(loc.state)
+    elapsed = time.perf_counter() - t_meas_start
+
+    scans_per_s = n_meas / elapsed
+
+    # sanity: trajectory must actually track (don't report garbage speed)
+    est = loc.positions()
+    gt = seq.traj.pos(loc.stamps())
+    ate = synthetic.ate_rmse(est, gt)
+    if not np.isfinite(ate) or ate > 5.0:
+        print(json.dumps({"metric": "scan_throughput", "value": 0.0,
+                          "unit": "scans/s", "vs_baseline": 0.0,
+                          "error": f"ATE {ate:.2f} m — tracking failed"}))
+        sys.exit(1)
+
+    print(json.dumps({
+        "metric": "scan_throughput",
+        "value": round(scans_per_s, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_s / 10.0, 2),
+        "ate_m": round(ate, 3),
+        "ms_per_scan": round(1000.0 * elapsed / n_meas, 2),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

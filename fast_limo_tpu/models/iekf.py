@@ -193,8 +193,10 @@ def update_iterated(
 ):
     """Iterated dynamic-share update (esekfom.hpp:1620-1823).
 
-    ``h_model(x) -> (H, h)`` recomputes matches at the current iterate:
-    H is (M, 12) with zero rows for invalid/padded matches, h is (M,).
+    ``h_model(x)`` recomputes matches at the current iterate and returns the
+    measurement sufficient statistics ``(HᵀH (12,12), Hᵀh (12,))`` — the
+    filter equations only touch H through these (esekfom.hpp:1722-1729), so
+    a device-sharded matcher just psums its partial products.
     R is the scalar LiDAR noise, D the degeneracy eigenvalue threshold,
     ``limit`` the per-dimension convergence limit (LIMITS broadcast,
     main.cpp:164-166).
@@ -211,9 +213,9 @@ def update_iterated(
         i = carry["i"]
         x = carry["x"]
 
-        H, h = h_model(x)
-        HTH = (H.T @ H).astype(dtype)          # (12,12); zero rows are no-ops
-        HTh = (H.T @ h).astype(dtype)          # (12,)
+        HTH, HTh = h_model(x)
+        HTH = HTH.astype(dtype)                # (12,12); zero rows are no-ops
+        HTh = HTh.astype(dtype)                # (12,)
 
         dx = st.boxminus(x, x_prop)
         dx_new, P_it = _chart_project_P(dx, x, x_prop, P_prop, dx)

@@ -70,18 +70,30 @@ def voxel_coords(pts, voxel_size: float):
     return jnp.floor(pts / voxel_size).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("voxel_size", "probes"))
-def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 16) -> VoxelHashMap:
+@functools.partial(jax.jit, static_argnames=("voxel_size", "probes", "num_shards"))
+def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 16,
+           num_shards: int = 1, shard_index=0) -> VoxelHashMap:
     """Insert a masked batch of world-frame points (Mapper::add / Octree::update).
 
     pts: (N,3); valid: (N,) bool. Returns the updated map.
+
+    Sharded mode (num_shards > 1): ``m`` is this device's shard of a global
+    table of ``capacity*num_shards`` slots; a voxel's owner device is the
+    high bits of its global hash and only owned points are inserted, so each
+    device's probe chains stay entirely local.
     """
     capacity = m.coords.shape[0]
     bucket = m.points.shape[1]
     N = pts.shape[0]
 
     vc = voxel_coords(pts, voxel_size)                       # (N,3)
-    h = _hash(vc, capacity)                                  # (N,)
+    if num_shards > 1:
+        h_full = _hash(vc, capacity * num_shards)
+        owner = h_full // jnp.int32(capacity)
+        valid = valid & (owner == shard_index)
+        h = (h_full % jnp.int32(capacity)).astype(jnp.int32)
+    else:
+        h = _hash(vc, capacity)                              # (N,)
 
     # ---- group same-voxel points: lexsort by coords and rank within voxel ----
     order = jnp.lexsort((vc[:, 2], vc[:, 1], vc[:, 0], (~valid).astype(jnp.int32)))
@@ -151,8 +163,9 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 16) 
     return VoxelHashMap(coords_a, points_a, counts_a, m.num_points + total, m.last_time)
 
 
-@functools.partial(jax.jit, static_argnames=("voxel_size", "probes", "k"))
-def knn(m: VoxelHashMap, queries, *, voxel_size: float, k: int, probes: int = 16
+@functools.partial(jax.jit, static_argnames=("voxel_size", "probes", "k", "num_shards"))
+def knn(m: VoxelHashMap, queries, *, voxel_size: float, k: int, probes: int = 16,
+        num_shards: int = 1, shard_index=0
         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Bounded k-nearest-neighbors over the 27-voxel neighborhood.
 
@@ -160,6 +173,9 @@ def knn(m: VoxelHashMap, queries, *, voxel_size: float, k: int, probes: int = 16
     Returns (neighbors (N,k,3), sq_dists (N,k) ascending, valid (N,k)).
     Matches the octree-kNN contract used by Mapper::match_plane
     (Mapper.cpp:100-114): squared distances, ascending.
+
+    Sharded mode: neighbor voxels owned by other devices are treated as
+    absent — callers all_gather the per-shard top-k and re-merge.
     """
     capacity = m.coords.shape[0]
     bucket = m.points.shape[1]
@@ -167,7 +183,13 @@ def knn(m: VoxelHashMap, queries, *, voxel_size: float, k: int, probes: int = 16
 
     qc = voxel_coords(queries, voxel_size)                     # (N,3)
     nc = qc[:, None, :] + _NEIGHBOR_OFFSETS[None, :, :]        # (N,27,3)
-    h = _hash(nc, capacity)                                    # (N,27)
+    if num_shards > 1:
+        h_full = _hash(nc, capacity * num_shards)
+        owned = (h_full // jnp.int32(capacity)) == shard_index
+        h = (h_full % jnp.int32(capacity)).astype(jnp.int32)
+    else:
+        owned = None
+        h = _hash(nc, capacity)                                # (N,27)
 
     def probe_body(p, carry):
         found_slot, done = carry
@@ -185,6 +207,8 @@ def knn(m: VoxelHashMap, queries, *, voxel_size: float, k: int, probes: int = 16
     )
 
     hit = found_slot < capacity                                # (N,27)
+    if owned is not None:
+        hit = hit & owned
     slot_safe = jnp.where(hit, found_slot, 0)
     cand_pts = m.points[slot_safe]                             # (N,27,B,3)
     cand_n = jnp.where(hit, m.counts[slot_safe], 0)            # (N,27)

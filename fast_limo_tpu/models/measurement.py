@@ -27,19 +27,45 @@ class MatchStats(NamedTuple):
 def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
                  voxel_size: float, k: int, probes: int,
                  max_dist_plane: float, plane_threshold: float,
-                 max_num_matches: int, estimate_extrinsics: bool):
-    """Build h_model(x) -> (H (N,12), h (N,)) over baselink-frame points pc.
+                 max_num_matches: int, estimate_extrinsics: bool,
+                 shard_axis: str = None, num_shards: int = 1):
+    """Build the measurement closures over baselink-frame points pc.
+
+    Returns ``(h_rows, h_stats)`` where ``h_rows(x) -> (H (N,12), h (N,))``
+    gives the raw Jacobian rows (zero for invalid matches) and
+    ``h_stats(x) -> (HᵀH, Hᵀh)`` the sufficient statistics consumed by
+    `iekf.update_iterated`.
 
     ``pc`` is the deskewed pc2match cloud in the baselink (Xt2) frame,
     already capped to MAX_NUM_PC2MATCH points (Mapper.cpp:63-69).
     """
 
-    def h_model(x: st.NavState):
+    def h_rows(x: st.NavState):
         dtype = pc.dtype
         # world-frame query points under the current iterate (Mapper.cpp:71-72)
         glob = so3.quat_rotate(x.rot, pc) + x.pos
 
-        nbrs, sq, vld = mp.knn(m, glob, voxel_size=voxel_size, k=k, probes=probes)
+        if shard_axis is None:
+            nbrs, sq, vld = mp.knn(m, glob, voxel_size=voxel_size, k=k, probes=probes)
+        else:
+            # map-sharded kNN: each device searches its hash-owned voxels,
+            # then the per-shard top-k candidates ride ICI (all_gather) and
+            # re-merge into the global k nearest — identical to single-chip.
+            import jax
+
+            idx = jax.lax.axis_index(shard_axis)
+            nbrs_l, sq_l, _ = mp.knn(m, glob, voxel_size=voxel_size, k=k,
+                                     probes=probes, num_shards=num_shards,
+                                     shard_index=idx)
+            nbrs_g = jax.lax.all_gather(nbrs_l, shard_axis)   # (D,N,k,3)
+            sq_g = jax.lax.all_gather(sq_l, shard_axis)       # (D,N,k)
+            N = glob.shape[0]
+            sq_cat = jnp.moveaxis(sq_g, 0, 1).reshape(N, num_shards * k)
+            nbr_cat = jnp.moveaxis(nbrs_g, 0, 1).reshape(N, num_shards * k, 3)
+            neg, top = jax.lax.top_k(-sq_cat, k)
+            sq = -neg
+            nbrs = jnp.take_along_axis(nbr_cat, top[..., None], axis=1)
+            vld = jnp.isfinite(sq)
         n_abcd, good = plane_op.fit_planes(
             nbrs, sq, vld, num_match_points=k,
             max_dist_plane=max_dist_plane, plane_threshold=plane_threshold)
@@ -69,4 +95,8 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
         h = jnp.where(keep, -dist, 0.0).astype(dtype)
         return H, h
 
-    return h_model
+    def h_stats(x: st.NavState):
+        H, h = h_rows(x)
+        return H.T @ H, H.T @ h
+
+    return h_rows, h_stats

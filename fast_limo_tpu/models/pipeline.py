@@ -115,8 +115,15 @@ def init_state(cfg: Config, dtype=None) -> LIOState:
     )
 
 
-def build_scan_step(cfg: Config, *, donate: bool = True, jit: bool = True):
-    """Compile the per-scan step for a static config."""
+def build_scan_step(cfg: Config, *, donate: bool = True, jit: bool = True,
+                    shard_axis: str = None, num_shards: int = 1):
+    """Compile the per-scan step for a static config.
+
+    With ``shard_axis`` set, the body is written for `jax.shard_map` over a
+    device mesh: the voxel-hash map lives sharded by hash-ownership, kNN
+    candidates merge over ICI (all_gather in the measurement model), map
+    insertion is owner-filtered, and everything else is replicated.
+    """
     mp_cfg = cfg.ikfom.mapping
     voxel_size = cfg.map_voxel_size
     probes = cfg.tpu.hash_probes
@@ -180,15 +187,16 @@ def build_scan_step(cfg: Config, *, donate: bool = True, jit: bool = True):
         pc2_valid = ds_valid[:n_pc2match]
 
         # ---- iterated manifold update (re-matching per iteration) ----
-        h_model = measurement.make_h_model(
+        _h_rows, h_stats = measurement.make_h_model(
             s.map, pc2match, pc2_valid,
             voxel_size=voxel_size, k=k, probes=probes,
             max_dist_plane=mp_cfg.MAX_DIST_PLANE,
             plane_threshold=mp_cfg.PLANE_THRESHOLD,
             max_num_matches=mp_cfg.MAX_NUM_MATCHES,
-            estimate_extrinsics=cfg.ikfom.estimate_extrinsics)
+            estimate_extrinsics=cfg.ikfom.estimate_extrinsics,
+            shard_axis=shard_axis, num_shards=num_shards)
         x_u, P_u, n_iters = iekf.update_iterated(
-            x_t2, P_t2, h_model,
+            x_t2, P_t2, h_stats,
             R=cfg.ikfom.lidar_noise, D=cfg.ikfom.degeneracy_thresh,
             max_iters=cfg.ikfom.MAX_NUM_ITERS, limit=cfg.ikfom.LIMITS)
 
@@ -201,9 +209,19 @@ def build_scan_step(cfg: Config, *, donate: bool = True, jit: bool = True):
 
         # ---- register scan & grow the map (Mapper::add) ----
         w_scan = so3.quat_rotate(x_u.rot, pc2match) + x_u.pos
+        if shard_axis is None:
+            shard_index = 0
+        else:
+            shard_index = jax.lax.axis_index(shard_axis)
         new_map = mapper.insert(
             s.map, w_scan, pc2_valid & do_update,
-            voxel_size=voxel_size, probes=probes)
+            voxel_size=voxel_size, probes=probes,
+            num_shards=num_shards, shard_index=shard_index)
+        if shard_axis is not None:
+            # keep num_points a replicated GLOBAL count (psum of shard deltas)
+            delta = new_map.num_points - s.map.num_points
+            new_map = new_map._replace(
+                num_points=s.map.num_points + jax.lax.psum(delta, shard_axis))
         new_map = new_map._replace(last_time=scan_end.astype(jnp.float32))
 
         # ---- mirror-state bias/gravity pinning (Localizer.cpp:344-346) ----

@@ -1,0 +1,98 @@
+"""Multi-chip scan step over a `jax.sharding.Mesh`.
+
+The reference has no distributed layer at all (SURVEY.md §2); this is the new
+design surface mandated by the north star: the voxel-hash map is partitioned
+over the mesh axis ``"map"`` by hash ownership (each device owns the slots
+whose global-hash high bits equal its index, so probe chains never cross
+devices), queries are replicated, per-shard kNN top-k candidates are merged
+with an ``all_gather`` over ICI, and the tiny iEKF algebra runs replicated.
+
+Memory scaling: a D-device mesh holds a D× larger map at the same per-chip
+HBM.  Compute scaling: the kNN gather work per chip drops ~D× (each chip only
+probes voxels it owns).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fast_limo_tpu.models import pipeline as pl
+from fast_limo_tpu.utils.config import Config
+
+AXIS = "map"
+
+
+def make_mesh(n_devices: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()[:n_devices]
+    assert len(devices) >= n_devices, (
+        f"need {n_devices} devices, have {len(devices)}")
+    import numpy as np
+
+    return Mesh(np.asarray(devices[:n_devices]), (AXIS,))
+
+
+def _state_specs(cfg: Config) -> pl.LIOState:
+    """PartitionSpecs: map arrays sharded on slot axis, rest replicated."""
+    from fast_limo_tpu.models import mapper, state as st
+
+    map_spec = mapper.VoxelHashMap(
+        coords=P(AXIS), points=P(AXIS), counts=P(AXIS),
+        num_points=P(), last_time=P())
+    nav = st.NavState(*([P()] * 8))
+    return pl.LIOState(
+        x=nav, P=P(), map=map_spec,
+        prev_scan_stamp=P(), last_prop_time=P(),
+        last_w_raw_bl=P(), last_w=P(), last_a=P(),
+        bias_gyro_corr=P(), bias_accel_corr=P(), pinned_grav=P())
+
+
+def _batch_specs() -> pl.ScanBatch:
+    return pl.ScanBatch(*([P()] * len(pl.ScanBatch._fields)))
+
+
+def _out_specs() -> pl.ScanOutput:
+    return pl.ScanOutput(*([P()] * len(pl.ScanOutput._fields)))
+
+
+def build_sharded_scan_step(cfg: Config, mesh: Mesh) -> Tuple:
+    """Returns (jitted sharded scan_step, initial sharded LIOState).
+
+    ``cfg.tpu.map_capacity`` is the PER-DEVICE shard capacity; the global
+    table has ``map_capacity * num_shards`` slots.
+    """
+    n = mesh.devices.size
+    assert cfg.tpu.num_map_shards in (0, 1, n) or cfg.tpu.num_map_shards == n
+    inner = pl.build_scan_step(cfg, donate=False, jit=False,
+                               shard_axis=AXIS, num_shards=n)
+
+    step = jax.jit(
+        jax.shard_map(
+            inner, mesh=mesh,
+            in_specs=(_state_specs(cfg), _batch_specs()),
+            out_specs=(_state_specs(cfg), _out_specs()),
+            check_vma=False,
+        ),
+        donate_argnums=(0,),
+    )
+
+    # initial state: per-device map shard shapes → global shapes via sharding
+    def init_global():
+        s = pl.init_state(cfg)
+        # blow the map up to the global (sharded) capacity
+        from fast_limo_tpu.models import mapper
+
+        m = mapper.create(cfg.tpu.map_capacity * n, cfg.map_points_per_voxel,
+                          jnp.dtype(cfg.tpu.dtype))
+        return s._replace(map=m)
+
+    state = init_global()
+    # place with the right shardings
+    shardings = jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec), _state_specs(cfg),
+        is_leaf=lambda x: isinstance(x, P))
+    state = jax.device_put(state, shardings)
+    return step, state

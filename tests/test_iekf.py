@@ -162,7 +162,11 @@ def synthetic_h(planes_n, planes_d, pts_local):
         H = jnp.concatenate([jnp.asarray(planes_n), A, B, C], axis=1)
         return H, -dist
 
-    return h_oracle, h_jax
+    def h_jax_stats(x):
+        H, h = h_jax(x)
+        return H.T @ H, H.T @ h
+
+    return h_oracle, h_jax_stats, h_jax
 
 
 class TestUpdateIterated:
@@ -175,7 +179,7 @@ class TestUpdateIterated:
         n /= np.linalg.norm(n, axis=1, keepdims=True)
         planes_d = rng.normal(size=M) * 0.1
         pts = rng.normal(size=(M, 3)) * 5
-        h_o, h_j = synthetic_h(n, planes_d, pts)
+        h_o, h_j, _ = synthetic_h(n, planes_d, pts)
 
         xo, Po, _ = oracle.update_iterated(d, P, h_o, R=1e-3, D=5.0,
                                            max_iters=3, limit=1e-3)
@@ -198,12 +202,12 @@ class TestUpdateIterated:
         # planes consistent with the current rotation and a small translation
         R0 = oracle.qmat(d["rot"])
         planes_d = -np.sum(n * (pts @ R0.T + np.array([0.05, -0.03, 0.08])), axis=1)
-        h_o, h_j = synthetic_h(n, planes_d, pts)
+        h_o, h_j, h_j_rows = synthetic_h(n, planes_d, pts)
         _, h0 = h_o(d)
 
         xj, _, _ = iekf.update_iterated(to_nav(d), jnp.asarray(P), h_j,
                                         R=1e-3, D=5.0, max_iters=5, limit=1e-4)
-        _, h1 = h_j(xj)
+        _, h1 = h_j_rows(xj)
         assert float(jnp.mean(jnp.abs(h1))) < 0.2 * float(np.mean(np.abs(h0))) + 1e-9
 
     def test_update_zero_rows_noop_on_empty(self, rng):
@@ -212,7 +216,7 @@ class TestUpdateIterated:
         P = rand_P(rng) * 0.01
 
         def h_zero(x):
-            return jnp.zeros((10, 12)), jnp.zeros(10)
+            return jnp.zeros((12, 12)), jnp.zeros(12)
 
         xj, Pj, _ = iekf.update_iterated(to_nav(d), jnp.asarray(P), h_zero,
                                          R=1e-3, D=5.0, max_iters=3, limit=1e-3)

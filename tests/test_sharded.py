@@ -1,0 +1,52 @@
+"""Multi-chip sharded scan step on the virtual 8-device CPU mesh.
+
+Checks the map-sharded pipeline compiles, runs, and — the crucial property —
+produces the SAME state estimate as the single-chip pipeline (shard-boundary
+kNN must not change results; SURVEY.md §7 'hard parts')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import __graft_entry__ as ge
+from fast_limo_tpu.models import pipeline as pl
+from fast_limo_tpu.parallel import sharded
+
+
+needs_devices = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs >=4 virtual devices")
+
+
+@needs_devices
+class TestSharded:
+    def test_dryrun_multichip(self):
+        ge.dryrun_multichip(4)
+
+    def test_matches_single_chip(self):
+        n_dev = 4
+        cfg_s = ge._tiny_cfg(n_pts=512, map_cap=1024, n_shards=n_dev)
+        mesh = sharded.make_mesh(n_dev)
+        step_sh, state_sh = sharded.build_sharded_scan_step(cfg_s, mesh)
+
+        # single-chip with the same GLOBAL capacity
+        cfg_1 = ge._tiny_cfg(n_pts=512, map_cap=1024 * n_dev, n_shards=1)
+        step_1 = pl.build_scan_step(cfg_1, donate=False)
+        state_1 = pl.init_state(cfg_1)
+
+        for i in range(3):
+            batch = ge._example_batch(cfg_s, seed=i)
+            state_sh, out_sh = step_sh(state_sh, batch)
+            state_1, out_1 = step_1(state_1, batch)
+
+        np.testing.assert_allclose(np.asarray(out_sh.pos), np.asarray(out_1.pos),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out_sh.quat), np.asarray(out_1.quat),
+                                   atol=1e-4)
+        # same number of map points (hash layout differs, content equivalent)
+        assert int(state_sh.map.num_points) == int(state_1.map.num_points)
+        np.testing.assert_allclose(np.asarray(state_sh.P), np.asarray(state_1.P),
+                                   atol=1e-4)
+
+    def test_eight_device_mesh(self):
+        ge.dryrun_multichip(8)
