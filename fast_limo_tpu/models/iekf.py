@@ -125,6 +125,22 @@ def predict_scan(x: st.NavState, P, imu_stack, Q):
 # iterated update
 # ---------------------------------------------------------------------------
 
+def _inv_scaled(X):
+    """Jacobi-preconditioned inverse of a (near-)SPD matrix.
+
+    The information-form update inverts matrices whose diagonal spans ~9
+    orders of magnitude (pose rows carry HᵀH ~1e6-1e7 while velocity rows
+    only carry the prior ~1e-3).  A plain f32 `inv` loses the small-info
+    dimensions entirely (the reference runs this algebra in double,
+    esekfom.hpp:1722-1729); rescaling to unit diagonal first keeps the
+    conditioning XLA's f32 solver can handle, so the whole filter stays in
+    fast TPU-native f32.
+    """
+    d = jnp.sqrt(jnp.clip(jnp.abs(jnp.diagonal(X)), 1e-30, None))
+    Xs = X / d[:, None] / d[None, :]
+    return jnp.linalg.inv(Xs) / d[None, :] / d[:, None]
+
+
 def _chart_project_P(dx, x: st.NavState, x_prop: st.NavState, P, dx_new):
     """Project dx_new and P through the manifold charts (esekfom.hpp:1657-1697).
 
@@ -220,13 +236,24 @@ def update_iterated(
         dx = st.boxminus(x, x_prop)
         dx_new, P_it = _chart_project_P(dx, x, x_prop, P_prop, dx)
 
-        # gain via the n×n information-form path (esekfom.hpp:1722-1729);
-        # equivalent to the m×m path by Woodbury when M > n.
-        P_temp = jnp.linalg.inv(P_it / R)
-        P_temp = P_temp.at[0:M_OBS, 0:M_OBS].add(HTH)
-        P_inv = jnp.linalg.inv(P_temp)
-        K_h = P_inv[:, 0:M_OBS] @ HTh
-        K_x = jnp.zeros((N, N), dtype=dtype).at[:, 0:M_OBS].set(P_inv[:, 0:M_OBS] @ HTH)
+        # Gain in covariance form on measurements COMPRESSED to 12 dims:
+        # HᵀH = VΛVᵀ ⇒ an exactly equivalent 12-row problem H̃ = Λ^½Vᵀ,
+        # h̃ = Λ^-½Vᵀ(Hᵀh).  This is the reference's own m×m path
+        # (esekfom.hpp:1701-1709, K = PHᵀ(HPHᵀ/R + I)⁻¹/R) — Woodbury-equal
+        # to its n×n information path but f32-stable: no P⁻¹ is ever formed
+        # (the double inversion spans ~9 decades and breaks in single
+        # precision; the reference sidesteps it by running in double).
+        w_c, V_c = jnp.linalg.eigh(HTH)
+        s_c = jnp.sqrt(jnp.clip(w_c, 0.0, None))
+        Ht12 = s_c[:, None] * V_c.T                       # (12,12) = H̃
+        good_c = s_c > 1e-6 * jnp.max(s_c, initial=0.0)
+        h_c = jnp.where(good_c, (V_c.T @ HTh) / jnp.where(good_c, s_c, 1.0), 0.0)
+
+        PHt = P_it[:, 0:M_OBS] @ Ht12.T                   # (23,12) = P H̃ᵀ
+        S = (Ht12 @ PHt[0:M_OBS]) / R + jnp.eye(M_OBS, dtype=dtype)
+        K_ = jnp.linalg.solve(S.T, PHt.T).T / R           # (23,12) = PH̃ᵀS⁻¹/R
+        K_h = K_ @ h_c
+        K_x = jnp.zeros((N, N), dtype=dtype).at[:, 0:M_OBS].set(K_ @ Ht12)
 
         dx_ = K_h + (K_x - jnp.eye(N, dtype=dtype)) @ dx_new
         dx_guarded = _degeneracy_guard(HTH, dx_, D)

@@ -23,7 +23,9 @@ import numpy as np
 
 from fast_limo_tpu.models import pipeline as pl
 from fast_limo_tpu.models import preprocess
+from fast_limo_tpu.utils import checkpoint as ckpt
 from fast_limo_tpu.utils.config import Config
+from fast_limo_tpu.utils.telemetry import Telemetry
 
 
 @dataclass
@@ -35,8 +37,10 @@ class _PendingScan:
 
 
 class Localizer:
-    def __init__(self, cfg: Config):
+    def __init__(self, cfg: Config, sync_timing: bool = False):
         self.cfg = cfg
+        self.sync_timing = sync_timing     # block per scan for exact ms/scan
+        self.telemetry = Telemetry()
         self.scan_step = pl.build_scan_step(cfg)
         self.state: Optional[pl.LIOState] = None          # device state (after calib)
         self.epoch: Optional[float] = None                # absolute epoch (f64)
@@ -64,6 +68,7 @@ class Localizer:
     def update_imu(self, stamp: float, acc, gyro) -> None:
         acc = np.asarray(acc, float)
         gyro = np.asarray(gyro, float)
+        self.telemetry.imu_tick(stamp)
         if self._first_imu_stamp is None:
             self._first_imu_stamp = stamp
         if self._newest_imu_stamp > -np.inf:
@@ -185,7 +190,12 @@ class Localizer:
             imu_acc=jnp.asarray(imu_acc), imu_gyro=jnp.asarray(imu_gyro),
             imu_stamp=jnp.asarray(imu_stamp), imu_valid=jnp.asarray(imu_valid),
         )
+        self.telemetry.scan_begin()
         self.state, out = self.scan_step(self.state, b)
+        if self.sync_timing:
+            import jax
+            jax.block_until_ready(out)
+        self.telemetry.scan_end(scan.stamp)
         self.trajectory.append({
             "stamp": self.epoch + float(out.scan_stamp),
             "pos": np.asarray(out.pos),
@@ -222,3 +232,40 @@ class Localizer:
 
     def stamps(self) -> np.ndarray:
         return np.array([t["stamp"] for t in self.trajectory])
+
+    def board(self) -> str:
+        info = {}
+        if self.trajectory:
+            t = self.trajectory[-1]
+            info = {"pos": t["pos"], "quat": t["quat"], "vel": t["vel"],
+                    "n_pc2match": t["n_pc2match"]}
+        if self.state is not None:
+            x = self.state.x
+            info.update(bg=np.asarray(x.bg), ba=np.asarray(x.ba),
+                        grav=np.asarray(x.grav),
+                        map_points=int(self.state.map.num_points))
+        return self.telemetry.board(info)
+
+    # ------------------------------------------------------------------ persistence
+    def save_checkpoint(self, path: str) -> None:
+        """Persist the full SLAM state (filter + map + carries)."""
+        if self.state is None:
+            raise RuntimeError("nothing to checkpoint yet")
+        ckpt.save_state(path, self.state, extra={
+            "epoch": self.epoch,
+            "imu_calibrated": self.imu_calibrated,
+            "init_bg": self.init_bg.tolist(),
+            "init_ba": self.init_ba.tolist(),
+            "init_quat": self.init_quat.tolist(),
+        })
+
+    def load_checkpoint(self, path: str) -> None:
+        """Resume from a checkpoint (continues mapping/localizing in it)."""
+        template = self.state if self.state is not None else pl.init_state(self.cfg)
+        self.state = ckpt.load_state(path, template)
+        extra = ckpt.load_extra(path)
+        self.epoch = extra.get("epoch")
+        self.imu_calibrated = bool(extra.get("imu_calibrated", True))
+        self.init_bg = np.asarray(extra.get("init_bg", self.init_bg))
+        self.init_ba = np.asarray(extra.get("init_ba", self.init_ba))
+        self.init_quat = np.asarray(extra.get("init_quat", self.init_quat))
