@@ -47,12 +47,16 @@ def _kabsch(src, dst, w):
     return R, t
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+@functools.partial(jax.jit, static_argnames=("iters", "coarse_mult"))
 def icp(src, src_valid, dst, dst_valid, *, init_quat=None, init_trans=None,
-        max_corr_dist: float = 2.0, iters: int = 10) -> ICPResult:
+        max_corr_dist: float = 2.0, iters: int = 10,
+        coarse_mult: float = 4.0) -> ICPResult:
     """Point-to-point ICP aligning ``src`` onto ``dst``.
 
     src (M,3) / dst (N,3) with validity masks; init transform optional.
+    The correspondence gate anneals from ``coarse_mult*max_corr_dist`` down
+    to ``max_corr_dist`` (coarse-to-fine) so far, rotation-informative points
+    aren't rejected before the pose is roughly right.
     """
     dtype = src.dtype
     q0 = init_quat if init_quat is not None else so3.quat_identity(dtype)
@@ -60,21 +64,23 @@ def icp(src, src_valid, dst, dst_valid, *, init_quat=None, init_trans=None,
 
     big = jnp.asarray(1e9, dtype)
     dst_masked = jnp.where(dst_valid[:, None], dst, big)
+    gates = jnp.linspace(coarse_mult, 1.0, iters) * max_corr_dist
 
-    def step(carry, _):
+    def step(carry, gate):
         q, t = carry
         moved = so3.quat_rotate(q, src) + t
         d2 = _sq_dists(jnp.where(src_valid[:, None], moved, -big), dst_masked)
         nn = jnp.argmin(d2, axis=1)
-        nn_d2 = jnp.take_along_axis(d2, nn[:, None], axis=1)[:, 0]
-        w = (src_valid & (nn_d2 < max_corr_dist * max_corr_dist)).astype(dtype)
+        # the |a|²+|b|²−2a·b expansion can go slightly negative in f32
+        nn_d2 = jnp.maximum(jnp.take_along_axis(d2, nn[:, None], axis=1)[:, 0], 0.0)
+        w = (src_valid & (nn_d2 < gate * gate)).astype(dtype)
         R_d, t_d = _kabsch(moved, dst[nn], w)
         q_new = so3.quat_mul(so3.mat_to_quat(R_d), q)
         t_new = R_d @ t + t_d
         rmse = jnp.sqrt(jnp.sum(nn_d2 * w) / jnp.maximum(jnp.sum(w), 1.0))
         return (q_new, t_new), (rmse, jnp.sum(w))
 
-    (q, t), (rmses, ws) = jax.lax.scan(step, (q0, t0), None, length=iters)
+    (q, t), (rmses, ws) = jax.lax.scan(step, (q0, t0), gates.astype(dtype))
     return ICPResult(quat=q, trans=t, rmse=rmses[-1],
                      n_inliers=ws[-1].astype(jnp.int32),
                      converged=rmses[-1] < max_corr_dist)
