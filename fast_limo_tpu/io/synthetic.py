@@ -98,6 +98,88 @@ class Trajectory:
                          np.sin(y / 2)], axis=-1)
 
 
+@dataclass
+class LoopTrajectory(Trajectory):
+    """Closed circular drive (for loop-closure tests): starts at rest, goes
+    around a circle of ``radius`` at terminal speed ``v_forward``; heading is
+    tangent to the circle."""
+
+    radius: float = 10.0
+
+    def _theta(self, t):
+        t = np.asarray(t, float)
+        tau = self.ramp_tau
+        return self.v_forward / self.radius * (t + tau * (np.exp(-t / tau) - 1.0))
+
+    def _theta_dot(self, t):
+        t = np.asarray(t, float)
+        return self.v_forward / self.radius * (1.0 - np.exp(-t / self.ramp_tau))
+
+    def _theta_ddot(self, t):
+        t = np.asarray(t, float)
+        return self.v_forward / (self.radius * self.ramp_tau) * np.exp(-t / self.ramp_tau)
+
+    def pos(self, t):
+        th = self._theta(t)
+        r = self.radius
+        return np.stack([r * np.sin(th), r * (1 - np.cos(th)),
+                         np.zeros_like(th)], axis=-1)
+
+    def vel(self, t):
+        th, thd = self._theta(t), self._theta_dot(t)
+        r = self.radius
+        return np.stack([r * np.cos(th) * thd, r * np.sin(th) * thd,
+                         np.zeros_like(th)], axis=-1)
+
+    def acc(self, t):
+        th, thd, thdd = self._theta(t), self._theta_dot(t), self._theta_ddot(t)
+        r = self.radius
+        return np.stack([
+            r * (-np.sin(th) * thd ** 2 + np.cos(th) * thdd),
+            r * (np.cos(th) * thd ** 2 + np.sin(th) * thdd),
+            np.zeros_like(th)], axis=-1)
+
+    def yaw(self, t):
+        return self._theta(t)
+
+    def yaw_rate(self, t):
+        return self._theta_dot(t)
+
+
+def build_loop_world(seed: int, radius: float = 10.0, n_pts: int = 120_000):
+    """Planar features around a circular corridor: ground + wall segments +
+    pillar-planes. Deliberately IRREGULAR (random per-segment ranges,
+    heights, tilts, and placement angles) so places around the loop are
+    distinguishable — a perfectly symmetric ring is a perceptual-aliasing
+    trap for any place-recognition system."""
+    rng = np.random.default_rng(seed)
+    cx, cy = 0.0, radius
+    parts = []
+    # ground annulus
+    n_g = n_pts // 2
+    ang = rng.uniform(0, 2 * np.pi, n_g)
+    rr = rng.uniform(radius - 8, radius + 8, n_g)
+    parts.append(np.stack([cx + rr * np.sin(ang), cy - rr * np.cos(ang),
+                           np.zeros(n_g)], 1))
+    # irregular wall segments + boxy "buildings" at random angles/ranges
+    n_seg = 30
+    per = n_pts // (2 * n_seg)
+    for i in range(n_seg):
+        a0 = rng.uniform(0, 2 * np.pi)
+        side = radius + rng.uniform(-7.5, 7.5)
+        if abs(side - radius) < 3.0:
+            side = radius + np.sign(side - radius + 1e-3) * rng.uniform(4, 7.5)
+        seg_len = rng.uniform(1.0, 4.0)
+        height = rng.uniform(1.5, 6.0)
+        tilt = rng.uniform(-0.4, 0.4)
+        ts = rng.uniform(-seg_len, seg_len, per)
+        zs = rng.uniform(0, height, per)
+        px = cx + side * np.sin(a0) + ts * np.cos(a0 + tilt)
+        py = cy - side * np.cos(a0) + ts * np.sin(a0 + tilt)
+        parts.append(np.stack([px, py, zs], 1))
+    return np.concatenate(parts).astype(np.float32)
+
+
 def build_world(seed: int, extent: float = 400.0, n_wall_pts: int = 150_000,
                 n_ground_pts: int = 150_000, corridor_half_width: float = 14.0):
     """Points on planar surfaces along the +x corridor the trajectory follows."""
@@ -140,10 +222,12 @@ class SyntheticSequence:
     bias_gyro: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     bias_acc: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     traj: Trajectory = None
+    world: np.ndarray = None
 
     def __post_init__(self):
         self.traj = self.traj or Trajectory()
-        self.world = build_world(self.seed)
+        if self.world is None:
+            self.world = build_world(self.seed)
         self._rng = np.random.default_rng(self.seed + 1)
 
     # ---- IMU ----

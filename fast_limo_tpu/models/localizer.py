@@ -62,6 +62,7 @@ class Localizer:
         self.init_ba = np.asarray(cfg.intrinsics.accel_bias, float)
 
         self.trajectory: List[dict] = []                  # per-scan outputs
+        self.last_output = None                           # last ScanOutput (device)
         self._R_imu2bl = np.array(cfg.extrinsics.imu2baselink_R, float).reshape(3, 3).T
 
     # ------------------------------------------------------------------ IMU
@@ -196,6 +197,7 @@ class Localizer:
             import jax
             jax.block_until_ready(out)
         self.telemetry.scan_end(scan.stamp)
+        self.last_output = out
         self.trajectory.append({
             "stamp": self.epoch + float(out.scan_stamp),
             "pos": np.asarray(out.pos),

@@ -32,6 +32,7 @@ import numpy as np
 
 from fast_limo_tpu.models import deskew as dsk
 from fast_limo_tpu.models import iekf, mapper, measurement, preprocess
+from fast_limo_tpu.models import scancontext as sc
 from fast_limo_tpu.models import process as proc
 from fast_limo_tpu.models import state as st
 from fast_limo_tpu.ops import so3, voxel
@@ -82,6 +83,8 @@ class ScanOutput(NamedTuple):
     vel: jnp.ndarray
     final_scan: jnp.ndarray        # (M,3) world-frame registered scan
     final_valid: jnp.ndarray       # (M,)
+    scan_body: jnp.ndarray         # (M,3) body(Xt2)-frame pc2match (for loop closure)
+    descriptor: jnp.ndarray        # (R,S) ScanContext of the body-frame scan
     n_iters: jnp.ndarray
     n_deskewed: jnp.ndarray
     n_pc2match: jnp.ndarray
@@ -246,6 +249,8 @@ def build_scan_step(cfg: Config, *, donate: bool = True, jit: bool = True,
         out = ScanOutput(
             pos=x_u.pos, quat=x_u.rot, vel=x_u.vel,
             final_scan=w_scan, final_valid=pc2_valid & do_update,
+            scan_body=pc2match,
+            descriptor=sc.descriptor(pc2match, pc2_valid),
             n_iters=n_iters, n_deskewed=jnp.sum(pvalid),
             n_pc2match=jnp.sum(pc2_valid), scan_stamp=scan_end,
         )

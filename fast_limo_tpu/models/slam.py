@@ -1,0 +1,245 @@
+"""Full SLAM: odometry + keyframes + ScanContext loop closure + pose graph.
+
+The reference ships this only on its out-of-snapshot branches
+(`loop/scancontext`: ScanContext + GTSAM + GPS factors, README.md:152-159);
+here it is built from the papers, TPU-first:
+
+* every scan's ScanContext descriptor comes out of the jitted scan step for
+  free; the host keeps a keyframe database (poses, descriptors, ring keys,
+  subsampled body-frame clouds),
+* loop candidates: ring-key L1 retrieval → full shifted-correlation
+  distance → ICP verification seeded with the ScanContext yaw,
+* verified loops become edges of the dense-GN pose graph; the correction is
+  pushed back into the device filter state and the voxel-hash map is
+  REBUILT from keyframe clouds at the optimized poses (the map is a pure
+  function of the keyframe set — no incremental surgery needed).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from fast_limo_tpu.models import icp, mapper, posegraph, scancontext
+from fast_limo_tpu.models.localizer import Localizer
+from fast_limo_tpu.ops import so3
+from fast_limo_tpu.utils.config import Config
+
+
+@dataclass
+class LoopConfig:
+    kf_dist: float = 2.0            # m between keyframes
+    kf_angle: float = 0.35          # rad between keyframes
+    exclude_recent: int = 30        # don't match the latest K keyframes
+    search_radius: float = 10.0     # only revisit candidates within this range
+    sc_dist_thresh: float = 0.22    # ScanContext acceptance
+    icp_max_rmse: float = 0.8
+    icp_min_inliers: int = 200
+    icp_points: int = 1024          # subsampled cloud kept per keyframe
+    consistency_trans: float = 2.0  # m: |ICP edge − odometry-predicted edge|
+    consistency_rot: float = 0.25   # rad
+    max_keyframes: int = 1024
+    max_edges: int = 4096
+    optimize_iters: int = 8
+    loop_weight: float = 5.0
+
+
+@dataclass
+class Keyframe:
+    index: int
+    stamp: float
+    pos: np.ndarray
+    quat: np.ndarray
+    desc: np.ndarray
+    ring_key: np.ndarray
+    cloud: np.ndarray       # (P,3) body frame
+    cloud_valid: np.ndarray
+
+
+class SLAM:
+    """Host orchestrator: Localizer + loop closure + pose graph."""
+
+    def __init__(self, cfg: Config, loop_cfg: Optional[LoopConfig] = None,
+                 enable_loop_closure: bool = True):
+        self.cfg = cfg
+        self.loop_cfg = loop_cfg or LoopConfig()
+        self.loc = Localizer(cfg)
+        self.enable_loop = enable_loop_closure
+        self.keyframes: List[Keyframe] = []
+        self.loop_edges: List[tuple] = []   # (i, j, quat, trans, weight)
+        self.n_loops_closed = 0
+        self._last_scan_count = 0
+
+    # ------------------------------------------------------------- feeding
+    def update_imu(self, stamp, acc, gyro):
+        self.loc.update_imu(stamp, acc, gyro)
+        self._after_dispatch()
+
+    def update_pointcloud(self, points, t_raw, stamp):
+        self.loc.update_pointcloud(points, t_raw, stamp)
+        self._after_dispatch()
+
+    # ------------------------------------------------------------- internals
+    def _after_dispatch(self):
+        while self._last_scan_count < len(self.loc.trajectory):
+            idx = self._last_scan_count
+            self._last_scan_count += 1
+            if self.enable_loop:
+                self._consider_keyframe(idx)
+
+    def _consider_keyframe(self, scan_idx: int):
+        t = self.loc.trajectory[scan_idx]
+        out = self.loc.last_output
+        if out is None:
+            return
+        if self.keyframes:
+            last = self.keyframes[-1]
+            dp = np.linalg.norm(t["pos"] - last.pos)
+            dq = so3.quat_mul(so3.quat_conj(jnp.asarray(last.quat)),
+                              jnp.asarray(t["quat"]))
+            dyaw = float(jnp.linalg.norm(so3.log_quat(dq)))
+            if dp < self.loop_cfg.kf_dist and dyaw < self.loop_cfg.kf_angle:
+                return
+
+        body = np.asarray(out.scan_body)
+        valid = np.asarray(out.final_valid)
+        P = self.loop_cfg.icp_points
+        sel = np.nonzero(valid)[0]
+        if len(sel) > P:
+            sel = sel[np.linspace(0, len(sel) - 1, P).astype(int)]
+        cloud = np.zeros((P, 3), np.float32)
+        cvalid = np.zeros(P, bool)
+        cloud[: len(sel)] = body[sel]
+        cvalid[: len(sel)] = True
+
+        desc = np.asarray(out.descriptor)
+        kf = Keyframe(
+            index=len(self.keyframes), stamp=t["stamp"],
+            pos=t["pos"].copy(), quat=t["quat"].copy(),
+            desc=desc, ring_key=np.asarray(scancontext.ring_key(jnp.asarray(desc))),
+            cloud=cloud, cloud_valid=cvalid)
+        self.keyframes.append(kf)
+        self._detect_loop(kf)
+
+    def _detect_loop(self, kf: Keyframe):
+        lc = self.loop_cfg
+        n = len(self.keyframes)
+        if n <= lc.exclude_recent + 1:
+            return
+        cands = self.keyframes[: n - 1 - lc.exclude_recent]
+        # odometry-proximity gate: drift is bounded, so genuine revisits are
+        # near the current estimate — kills the rotational-symmetry aliases
+        near = [c for c in cands
+                if np.linalg.norm(c.pos - kf.pos) < lc.search_radius]
+        if not near:
+            return
+        keys = np.stack([c.ring_key for c in near])
+        d = np.sum(np.abs(keys - kf.ring_key[None]), axis=1)
+        best = int(np.argmin(d))
+        cand = near[best]
+
+        dist, shift = scancontext.distance(jnp.asarray(kf.desc),
+                                           jnp.asarray(cand.desc))
+        if float(dist) > lc.sc_dist_thresh:
+            return
+
+        # ICP: align kf cloud onto candidate cloud, seeded with SC yaw
+        yaw = float(scancontext.shift_to_yaw(shift))
+        q0 = so3.exp_quat(jnp.asarray([0.0, 0.0, yaw], jnp.float32))
+        res = icp.icp(jnp.asarray(kf.cloud), jnp.asarray(kf.cloud_valid),
+                      jnp.asarray(cand.cloud), jnp.asarray(cand.cloud_valid),
+                      init_quat=q0, max_corr_dist=1.0, iters=15)
+        if (float(res.rmse) > lc.icp_max_rmse
+                or int(res.n_inliers) < lc.icp_min_inliers):
+            return
+
+        # ICP maps kf-body → cand-body coords, i.e. T_icp ≈ T_cand⁻¹·T_kf —
+        # exactly the (i=cand → j=kf) edge measurement T_i⁻¹T_j.
+        # Consistency gate: the measured edge must agree with the
+        # odometry-predicted relative pose to within the drift budget —
+        # rejects perceptual aliases and poor ICP fits before they can
+        # corrupt the graph.
+        qc_i = so3.quat_conj(jnp.asarray(cand.quat))
+        q_pred = so3.quat_mul(qc_i, jnp.asarray(kf.quat))
+        t_pred = so3.quat_rotate(qc_i, jnp.asarray(kf.pos - cand.pos))
+        dt_err = float(jnp.linalg.norm(res.trans - t_pred))
+        dr_err = float(jnp.linalg.norm(so3.log_quat(
+            so3.quat_mul(so3.quat_conj(res.quat), q_pred))))
+        if dt_err > lc.consistency_trans or dr_err > lc.consistency_rot:
+            return
+
+        self.loop_edges.append((cand.index, kf.index,
+                                np.asarray(res.quat), np.asarray(res.trans)))
+        self.n_loops_closed += 1
+        self._optimize_and_correct()
+
+    def _optimize_and_correct(self):
+        lc = self.loop_cfg
+        K = len(self.keyframes)
+        g = posegraph.create(
+            1 << max(3, (K - 1).bit_length()), lc.max_edges)
+        for kf in self.keyframes:
+            g = posegraph.add_node(g, jnp.asarray(kf.quat, jnp.float32),
+                                   jnp.asarray(kf.pos, jnp.float32))
+        # odometry edges from current keyframe poses
+        for k in range(1, K):
+            a, b = self.keyframes[k - 1], self.keyframes[k]
+            qa_i = so3.quat_conj(jnp.asarray(a.quat))
+            q = so3.quat_mul(qa_i, jnp.asarray(b.quat))
+            t = so3.quat_rotate(qa_i, jnp.asarray(b.pos - a.pos))
+            g = posegraph.add_edge(g, k - 1, k, q, t, 1.0)
+        for (i, j, q, t) in [e[:4] for e in self.loop_edges]:
+            # edge measurement: pose of j in i's frame; ICP gave T_i←j
+            g = posegraph.add_edge(g, i, j, jnp.asarray(q), jnp.asarray(t),
+                                   lc.loop_weight)
+
+        g2, _ = posegraph.optimize(g, iters=lc.optimize_iters)
+
+        # pose delta at the newest keyframe → push into the filter state
+        last = self.keyframes[-1]
+        q_new = np.asarray(g2.quat[K - 1])
+        p_new = np.asarray(g2.trans[K - 1])
+        q_old, p_old = last.quat, last.pos
+        dq = so3.quat_mul(jnp.asarray(q_new), so3.quat_conj(jnp.asarray(q_old)))
+
+        # update stored keyframes to optimized poses
+        for k, kf in enumerate(self.keyframes):
+            kf.quat = np.asarray(g2.quat[k])
+            kf.pos = np.asarray(g2.trans[k])
+
+        # correct the live filter state: x ← Δ ∘ x (world-frame correction)
+        s = self.loc.state
+        x = s.x
+        x_rot = so3.quat_normalize(so3.quat_mul(dq, x.rot))
+        x_pos = so3.quat_rotate(dq, x.pos - jnp.asarray(p_old)) + jnp.asarray(p_new)
+        x_vel = so3.quat_rotate(dq, x.vel)
+        self.loc.state = s._replace(x=x._replace(rot=x_rot, pos=x_pos, vel=x_vel))
+
+        self._rebuild_map()
+
+    def _rebuild_map(self):
+        """Re-insert keyframe clouds at optimized poses into a fresh map."""
+        cfg = self.cfg
+        m = mapper.create(cfg.tpu.map_capacity, cfg.map_points_per_voxel,
+                          jnp.dtype(cfg.tpu.dtype))
+        vox = cfg.map_voxel_size
+        for kf in self.keyframes:
+            world = so3.quat_rotate(jnp.asarray(kf.quat), jnp.asarray(kf.cloud)) \
+                + jnp.asarray(kf.pos)
+            m = mapper.insert(m, world, jnp.asarray(kf.cloud_valid),
+                              voxel_size=vox, probes=cfg.tpu.hash_probes)
+        self.loc.state = self.loc.state._replace(map=m)
+
+    # ------------------------------------------------------------- queries
+    @property
+    def trajectory(self):
+        return self.loc.trajectory
+
+    def positions(self):
+        return self.loc.positions()
+
+    def stamps(self):
+        return self.loc.stamps()
