@@ -61,7 +61,8 @@ class Localizer:
         self.init_bg = np.asarray(cfg.intrinsics.gyro_bias, float)
         self.init_ba = np.asarray(cfg.intrinsics.accel_bias, float)
 
-        self.trajectory: List[dict] = []                  # per-scan outputs
+        self._raw_outputs: List[tuple] = []               # (epoch, ScanOutput) device-side
+        self._materialized: List[dict] = []               # lazily converted
         self.last_output = None                           # last ScanOutput (device)
         self._R_imu2bl = np.array(cfg.extrinsics.imu2baselink_R, float).reshape(3, 3).T
 
@@ -198,14 +199,13 @@ class Localizer:
             jax.block_until_ready(out)
         self.telemetry.scan_end(scan.stamp)
         self.last_output = out
-        self.trajectory.append({
-            "stamp": self.epoch + float(out.scan_stamp),
-            "pos": np.asarray(out.pos),
-            "quat": np.asarray(out.quat),
-            "vel": np.asarray(out.vel),
-            "n_iters": int(out.n_iters),
-            "n_pc2match": int(out.n_pc2match),
-        })
+        # defer device→host transfer: forcing out.* here would sync the
+        # accelerator every scan (hundreds of ms over a tunneled TPU)
+        self._raw_outputs.append((self.epoch, out))
+        # bound device-side retention: scans further back than the window are
+        # long computed, so materializing them is a pure transfer, no stall
+        if len(self._raw_outputs) - len(self._materialized) > 64:
+            self._materialize_upto(len(self._raw_outputs) - 32)
 
     def _init_device_state(self, first_stamp: float) -> None:
         cfg = self.cfg
@@ -229,6 +229,26 @@ class Localizer:
         self.epoch = first_stamp
 
     # ------------------------------------------------------------------ query
+    def _materialize_upto(self, n: int) -> None:
+        while len(self._materialized) < n:
+            idx = len(self._materialized)
+            epoch, out = self._raw_outputs[idx]
+            self._materialized.append({
+                "stamp": epoch + float(out.scan_stamp),
+                "pos": np.asarray(out.pos),
+                "quat": np.asarray(out.quat),
+                "vel": np.asarray(out.vel),
+                "n_iters": int(out.n_iters),
+                "n_pc2match": int(out.n_pc2match),
+            })
+            self._raw_outputs[idx] = (epoch, None)  # release device arrays
+
+    @property
+    def trajectory(self) -> List[dict]:
+        """Per-scan outputs as host dicts (materialized on first access)."""
+        self._materialize_upto(len(self._raw_outputs))
+        return self._materialized
+
     def positions(self) -> np.ndarray:
         return np.array([t["pos"] for t in self.trajectory])
 

@@ -4,9 +4,10 @@ incremental octree (`include/fast_limo/Objects/Octree.hpp`).
 The octree's pointer-chasing kNN cannot map to TPU; instead the map is a
 fixed-capacity open-addressing hash table of voxel buckets:
 
-* ``coords (C,3) int32`` — integer voxel coordinates of each slot
+* ``meta (C,4) int32`` — [vx, vy, vz, count] per slot, PACKED so that probe
+  rounds cost a single 16-byte row gather instead of four separate ones
+  (gathers are the hot operation on TPU — SURVEY.md hot loop #2)
 * ``points (C,B,3) float32`` — up to B points stored per voxel
-* ``counts (C,) int32`` — occupancy per voxel (0 = free slot)
 
 Insertion is batched and fully vectorized: per-voxel ranks via a sorted
 segment scan, slot claiming via scatter-min election, bounded linear probing
@@ -17,6 +18,12 @@ finest octree leaf is in ``(min_extent, 2*min_extent]``, Octree.hpp:310,385).
 
 kNN = gather the 3³ neighbor voxels of each query, mask, and take the k
 smallest squared distances (Octree.hpp:527-598 contract: ascending sq-dists).
+It is split into `gather_neighborhood` (probe + bucket gather — depends only
+on the query VOXELS) and `topk_from_candidates` (distances + top-k) so the
+iterated update can hoist the expensive gather out of its re-match loop.
+
+Sharded mode (num_shards > 1): a voxel's owner device is the high bits of
+its global hash; probe chains stay entirely device-local.
 """
 
 from __future__ import annotations
@@ -27,10 +34,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-# open-addressing election sentinel
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
-# 3x3x3 neighborhood offsets, static
 _NEIGHBOR_OFFSETS = jnp.array(
     [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
     dtype=jnp.int32,
@@ -38,19 +43,33 @@ _NEIGHBOR_OFFSETS = jnp.array(
 
 
 class VoxelHashMap(NamedTuple):
-    coords: jnp.ndarray      # (C, 3) int32
+    meta: jnp.ndarray        # (C, 4) int32: voxel coords + count (0 = free)
     points: jnp.ndarray      # (C, B, 3) float32
-    counts: jnp.ndarray      # (C,) int32
     num_points: jnp.ndarray  # () int32  (Mapper::size, Mapper.cpp:51-53)
     last_time: jnp.ndarray   # () float32 (Mapper::last_time)
+
+    @property
+    def coords(self):
+        return self.meta[:, 0:3]
+
+    @property
+    def counts(self):
+        return self.meta[:, 3]
+
+    @property
+    def capacity(self):
+        return self.meta.shape[0]
+
+    @property
+    def bucket(self):
+        return self.points.shape[1]
 
 
 def create(capacity: int, bucket: int, dtype=jnp.float32) -> VoxelHashMap:
     assert capacity & (capacity - 1) == 0, "capacity must be a power of two"
     return VoxelHashMap(
-        coords=jnp.zeros((capacity, 3), jnp.int32),
+        meta=jnp.zeros((capacity, 4), jnp.int32),
         points=jnp.zeros((capacity, bucket, 3), dtype),
-        counts=jnp.zeros((capacity,), jnp.int32),
         num_points=jnp.asarray(0, jnp.int32),
         last_time=jnp.asarray(-1.0, jnp.float32),
     )
@@ -70,30 +89,31 @@ def voxel_coords(pts, voxel_size: float):
     return jnp.floor(pts / voxel_size).astype(jnp.int32)
 
 
+def _shard_split(h_full, capacity, num_shards, shard_index):
+    owner = h_full // jnp.int32(capacity)
+    local = (h_full % jnp.int32(capacity)).astype(jnp.int32)
+    return owner == shard_index, local
+
+
+# ---------------------------------------------------------------------------
+# insert
+# ---------------------------------------------------------------------------
+
 @functools.partial(jax.jit, static_argnames=("voxel_size", "probes", "num_shards"))
-def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 16,
+def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 8,
            num_shards: int = 1, shard_index=0) -> VoxelHashMap:
-    """Insert a masked batch of world-frame points (Mapper::add / Octree::update).
-
-    pts: (N,3); valid: (N,) bool. Returns the updated map.
-
-    Sharded mode (num_shards > 1): ``m`` is this device's shard of a global
-    table of ``capacity*num_shards`` slots; a voxel's owner device is the
-    high bits of its global hash and only owned points are inserted, so each
-    device's probe chains stay entirely local.
-    """
-    capacity = m.coords.shape[0]
-    bucket = m.points.shape[1]
+    """Insert a masked batch of world-frame points (Mapper::add / Octree::update)."""
+    capacity = m.capacity
+    bucket = m.bucket
     N = pts.shape[0]
 
     vc = voxel_coords(pts, voxel_size)                       # (N,3)
     if num_shards > 1:
-        h_full = _hash(vc, capacity * num_shards)
-        owner = h_full // jnp.int32(capacity)
-        valid = valid & (owner == shard_index)
-        h = (h_full % jnp.int32(capacity)).astype(jnp.int32)
+        owned, h = _shard_split(_hash(vc, capacity * num_shards),
+                                capacity, num_shards, shard_index)
+        valid = valid & owned
     else:
-        h = _hash(vc, capacity)                              # (N,)
+        h = _hash(vc, capacity)
 
     # ---- group same-voxel points: lexsort by coords and rank within voxel ----
     order = jnp.lexsort((vc[:, 2], vc[:, 1], vc[:, 0], (~valid).astype(jnp.int32)))
@@ -102,103 +122,92 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 16,
     same_prev = jnp.concatenate(
         [jnp.array([False]), jnp.all(vc_s[1:] == vc_s[:-1], axis=-1) & valid_s[1:] & valid_s[:-1]]
     )
-    # per-voxel rank via segmented scan (reset where a new voxel starts)
     idxs = jnp.arange(N)
     seg_start = jnp.where(~same_prev, idxs, 0)
     seg_start = jax.lax.associative_scan(jnp.maximum, seg_start)
     rank_s = idxs - seg_start                                # 0,1,2,… within voxel
     rank = jnp.zeros(N, jnp.int32).at[order].set(rank_s.astype(jnp.int32))
 
-    # reject within-batch overflow beyond bucket capacity up front
     pending = valid & (rank < bucket)
 
     def probe_body(p, carry):
-        coords_a, points_a, counts_a, total, pending = carry
+        meta_a, points_a, total, pending = carry
         slot = ((h + p) & (capacity - 1)).astype(jnp.int32)
 
-        slot_count = counts_a[slot]                          # (N,)
-        slot_coords = coords_a[slot]                         # (N,3)
+        slot_meta = meta_a[slot]                             # (N,4)
+        slot_count = slot_meta[:, 3]
         occupied = slot_count > 0
-        match = occupied & jnp.all(slot_coords == vc, axis=-1)
         empty = ~occupied
 
         # elect one claimant point per empty slot (scatter-min of point index)
         want_claim = pending & empty
         claim_tbl = jnp.full((capacity,), _INT_MAX, jnp.int32)
         claim_tbl = claim_tbl.at[jnp.where(want_claim, slot, capacity - 1)].min(
-            jnp.where(want_claim, idxs.astype(jnp.int32), _INT_MAX),
-            mode="drop",
-        )
+            jnp.where(want_claim, idxs.astype(jnp.int32), _INT_MAX), mode="drop")
         winner = want_claim & (claim_tbl[slot] == idxs)
-        # publish winners' coords so same-voxel siblings resolve here too
-        coords_a = coords_a.at[jnp.where(winner, slot, capacity)].set(vc, mode="drop")
+        # publish winners' coords (count still 0 until placement below)
+        meta_a = meta_a.at[jnp.where(winner, slot, capacity), 0:3].set(
+            vc, mode="drop")
 
-        # a point resolves at this slot if the (possibly fresh) resident
-        # voxel is its own
-        resident = jnp.all(coords_a[slot] == vc, axis=-1) & (occupied | (claim_tbl[slot] != _INT_MAX))
+        resident = jnp.all(meta_a[slot, 0:3] == vc, axis=-1) & (
+            occupied | (claim_tbl[slot] != _INT_MAX))
         resolves = pending & resident
 
-        # placement position = existing count + within-batch rank
         pos = slot_count + rank
         place = resolves & (pos < bucket)
         flat = jnp.where(place, slot * bucket + pos, capacity * bucket)
-        points_a = points_a.reshape(capacity * bucket, 3).at[flat].set(pts, mode="drop")
-        points_a = points_a.reshape(capacity, bucket, 3)
+        points_a = points_a.reshape(capacity * bucket, 3).at[flat].set(
+            pts, mode="drop").reshape(capacity, bucket, 3)
 
         placed_n = place.astype(jnp.int32)
-        counts_a = counts_a.at[jnp.where(place, slot, capacity)].add(placed_n, mode="drop")
-        # ensure claimed-but-unfilled slots still count as occupied: a winner
-        # always has rank 0 → pos 0 < bucket, so it always places. (bucket>=1)
+        meta_a = meta_a.at[jnp.where(place, slot, capacity), 3].add(
+            placed_n, mode="drop")
         total = total + jnp.sum(placed_n, dtype=jnp.int32)
 
         pending = pending & ~resolves  # resolved (placed or bucket-full drop)
-        return coords_a, points_a, counts_a, total, pending
+        return meta_a, points_a, total, pending
 
-    # points that resolve at a full bucket are dropped (octree downsample rule)
-    coords_a, points_a, counts_a, total, pending = jax.lax.fori_loop(
+    meta_a, points_a, total, pending = jax.lax.fori_loop(
         0, probes, probe_body,
-        (m.coords, m.points, m.counts, jnp.asarray(0, jnp.int32), pending),
+        (m.meta, m.points, jnp.asarray(0, jnp.int32), pending),
     )
-    # any still-pending points exhausted the probe budget → dropped.
-    return VoxelHashMap(coords_a, points_a, counts_a, m.num_points + total, m.last_time)
+    return VoxelHashMap(meta_a, points_a, m.num_points + total, m.last_time)
 
 
-@functools.partial(jax.jit, static_argnames=("voxel_size", "probes", "k", "num_shards"))
-def knn(m: VoxelHashMap, queries, *, voxel_size: float, k: int, probes: int = 16,
-        num_shards: int = 1, shard_index=0
-        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Bounded k-nearest-neighbors over the 27-voxel neighborhood.
+# ---------------------------------------------------------------------------
+# kNN
+# ---------------------------------------------------------------------------
 
-    queries: (N,3) world-frame points.
-    Returns (neighbors (N,k,3), sq_dists (N,k) ascending, valid (N,k)).
-    Matches the octree-kNN contract used by Mapper::match_plane
-    (Mapper.cpp:100-114): squared distances, ascending.
+@functools.partial(jax.jit, static_argnames=("voxel_size", "probes", "num_shards"))
+def gather_neighborhood(m: VoxelHashMap, queries, *, voxel_size: float,
+                        probes: int = 8, num_shards: int = 1, shard_index=0):
+    """Resolve the 27-voxel neighborhood of each query and gather buckets.
 
-    Sharded mode: neighbor voxels owned by other devices are treated as
-    absent — callers all_gather the per-shard top-k and re-merge.
+    Depends only on each query's VOXEL, so it can be computed once per scan
+    and reused across update iterations (pose shifts are millimetric).
+    Returns (cand_pts (N,27,B,3), cand_valid (N,27,B)).
     """
-    capacity = m.coords.shape[0]
-    bucket = m.points.shape[1]
+    capacity = m.capacity
+    bucket = m.bucket
     N = queries.shape[0]
 
     qc = voxel_coords(queries, voxel_size)                     # (N,3)
     nc = qc[:, None, :] + _NEIGHBOR_OFFSETS[None, :, :]        # (N,27,3)
     if num_shards > 1:
-        h_full = _hash(nc, capacity * num_shards)
-        owned = (h_full // jnp.int32(capacity)) == shard_index
-        h = (h_full % jnp.int32(capacity)).astype(jnp.int32)
+        owned, h = _shard_split(_hash(nc, capacity * num_shards),
+                                capacity, num_shards, shard_index)
     else:
         owned = None
-        h = _hash(nc, capacity)                                # (N,27)
+        h = _hash(nc, capacity)
 
     def probe_body(p, carry):
         found_slot, done = carry
         slot = ((h + p) & (capacity - 1)).astype(jnp.int32)
-        occupied = m.counts[slot] > 0
-        match = occupied & jnp.all(m.coords[slot] == nc, axis=-1)
+        meta = m.meta[slot]                                    # (N,27,4)
+        occupied = meta[..., 3] > 0
+        match = occupied & jnp.all(meta[..., 0:3] == nc, axis=-1)
         found_slot = jnp.where(~done & match, slot, found_slot)
-        # empty slot terminates the probe chain (no deletions ⇒ absent)
-        done = done | match | ~occupied
+        done = done | match | ~occupied  # empty slot terminates the chain
         return found_slot, done
 
     found_slot, _ = jax.lax.fori_loop(
@@ -206,24 +215,38 @@ def knn(m: VoxelHashMap, queries, *, voxel_size: float, k: int, probes: int = 16
         (jnp.full((N, 27), capacity, jnp.int32), jnp.zeros((N, 27), bool)),
     )
 
-    hit = found_slot < capacity                                # (N,27)
+    hit = found_slot < capacity
     if owned is not None:
         hit = hit & owned
     slot_safe = jnp.where(hit, found_slot, 0)
     cand_pts = m.points[slot_safe]                             # (N,27,B,3)
-    cand_n = jnp.where(hit, m.counts[slot_safe], 0)            # (N,27)
+    cand_n = jnp.where(hit, m.meta[slot_safe, 3], 0)           # (N,27)
     cand_valid = (
         jnp.arange(bucket, dtype=jnp.int32)[None, None, :] < cand_n[..., None]
-    )                                                          # (N,27,B)
+    )
+    return cand_pts, cand_valid
 
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def topk_from_candidates(cand_pts, cand_valid, queries, *, k: int):
+    """k smallest squared distances among the candidate buckets (ascending)."""
+    N = queries.shape[0]
     diff = cand_pts - queries[:, None, None, :]
-    d2 = jnp.sum(diff * diff, axis=-1)                         # (N,27,B)
+    d2 = jnp.sum(diff * diff, axis=-1)
     d2 = jnp.where(cand_valid, d2, jnp.inf)
-
-    d2_flat = d2.reshape(N, 27 * bucket)
-    neg_top, top_idx = jax.lax.top_k(-d2_flat, k)              # ascending dist
+    d2_flat = d2.reshape(N, -1)
+    neg_top, top_idx = jax.lax.top_k(-d2_flat, k)
     sq = -neg_top
-    pts_flat = cand_pts.reshape(N, 27 * bucket, 3)
-    nbrs = jnp.take_along_axis(pts_flat, top_idx[..., None], axis=1)
+    nbrs = jnp.take_along_axis(cand_pts.reshape(N, -1, 3), top_idx[..., None], axis=1)
     valid = jnp.isfinite(sq)
     return nbrs, jnp.where(valid, sq, jnp.inf), valid
+
+
+def knn(m: VoxelHashMap, queries, *, voxel_size: float, k: int, probes: int = 8,
+        num_shards: int = 1, shard_index=0
+        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Bounded kNN over the 27-voxel neighborhood (gather + top-k)."""
+    cand_pts, cand_valid = gather_neighborhood(
+        m, queries, voxel_size=voxel_size, probes=probes,
+        num_shards=num_shards, shard_index=shard_index)
+    return topk_from_candidates(cand_pts, cand_valid, queries, k=k)

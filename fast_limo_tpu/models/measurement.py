@@ -28,7 +28,8 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
                  voxel_size: float, k: int, probes: int,
                  max_dist_plane: float, plane_threshold: float,
                  max_num_matches: int, estimate_extrinsics: bool,
-                 shard_axis: str = None, num_shards: int = 1):
+                 shard_axis: str = None, num_shards: int = 1,
+                 knn_refresh: str = "always", x0: st.NavState = None):
     """Build the measurement closures over baselink-frame points pc.
 
     Returns ``(h_rows, h_stats)`` where ``h_rows(x) -> (H (N,12), h (N,))``
@@ -38,34 +39,56 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
 
     ``pc`` is the deskewed pc2match cloud in the baselink (Xt2) frame,
     already capped to MAX_NUM_PC2MATCH points (Mapper.cpp:63-69).
+
+    ``knn_refresh``: "always" re-resolves the voxel neighborhood at every
+    update iteration (exact reference semantics — h_share_model re-matches
+    per iteration, use-ikfom.cpp:10-31); "first" resolves it once at ``x0``
+    (the predicted pose) and only re-ranks distances/planes per iteration —
+    iterations move the pose by millimeters, so the candidate set is
+    unchanged in practice while the dominant gather cost is paid once.
     """
+    assert knn_refresh in ("always", "first")
+
+    def _gather(glob):
+        if shard_axis is None:
+            return mp.gather_neighborhood(
+                m, glob, voxel_size=voxel_size, probes=probes)
+        import jax
+
+        idx = jax.lax.axis_index(shard_axis)
+        return mp.gather_neighborhood(
+            m, glob, voxel_size=voxel_size, probes=probes,
+            num_shards=num_shards, shard_index=idx)
+
+    def _topk(cand_pts, cand_valid, glob):
+        nbrs, sq, vld = mp.topk_from_candidates(cand_pts, cand_valid, glob, k=k)
+        if shard_axis is None:
+            return nbrs, sq, vld
+        # map-sharded: per-shard top-k candidates ride ICI (all_gather) and
+        # re-merge into the global k nearest — identical to single-chip.
+        import jax
+
+        nbrs_g = jax.lax.all_gather(nbrs, shard_axis)         # (D,N,k,3)
+        sq_g = jax.lax.all_gather(sq, shard_axis)             # (D,N,k)
+        N = glob.shape[0]
+        sq_cat = jnp.moveaxis(sq_g, 0, 1).reshape(N, num_shards * k)
+        nbr_cat = jnp.moveaxis(nbrs_g, 0, 1).reshape(N, num_shards * k, 3)
+        neg, top = jax.lax.top_k(-sq_cat, k)
+        sq = -neg
+        nbrs = jnp.take_along_axis(nbr_cat, top[..., None], axis=1)
+        return nbrs, sq, jnp.isfinite(sq)
+
+    if knn_refresh == "first":
+        assert x0 is not None, "knn_refresh='first' needs the predicted pose x0"
+        glob0 = so3.quat_rotate(x0.rot, pc) + x0.pos
+        cached = _gather(glob0)
 
     def h_rows(x: st.NavState):
         dtype = pc.dtype
         # world-frame query points under the current iterate (Mapper.cpp:71-72)
         glob = so3.quat_rotate(x.rot, pc) + x.pos
-
-        if shard_axis is None:
-            nbrs, sq, vld = mp.knn(m, glob, voxel_size=voxel_size, k=k, probes=probes)
-        else:
-            # map-sharded kNN: each device searches its hash-owned voxels,
-            # then the per-shard top-k candidates ride ICI (all_gather) and
-            # re-merge into the global k nearest — identical to single-chip.
-            import jax
-
-            idx = jax.lax.axis_index(shard_axis)
-            nbrs_l, sq_l, _ = mp.knn(m, glob, voxel_size=voxel_size, k=k,
-                                     probes=probes, num_shards=num_shards,
-                                     shard_index=idx)
-            nbrs_g = jax.lax.all_gather(nbrs_l, shard_axis)   # (D,N,k,3)
-            sq_g = jax.lax.all_gather(sq_l, shard_axis)       # (D,N,k)
-            N = glob.shape[0]
-            sq_cat = jnp.moveaxis(sq_g, 0, 1).reshape(N, num_shards * k)
-            nbr_cat = jnp.moveaxis(nbrs_g, 0, 1).reshape(N, num_shards * k, 3)
-            neg, top = jax.lax.top_k(-sq_cat, k)
-            sq = -neg
-            nbrs = jnp.take_along_axis(nbr_cat, top[..., None], axis=1)
-            vld = jnp.isfinite(sq)
+        cand_pts, cand_valid = cached if knn_refresh == "first" else _gather(glob)
+        nbrs, sq, vld = _topk(cand_pts, cand_valid, glob)
         n_abcd, good = plane_op.fit_planes(
             nbrs, sq, vld, num_match_points=k,
             max_dist_plane=max_dist_plane, plane_threshold=plane_threshold)

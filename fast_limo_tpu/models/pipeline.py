@@ -197,7 +197,8 @@ def build_scan_step(cfg: Config, *, donate: bool = True, jit: bool = True,
             plane_threshold=mp_cfg.PLANE_THRESHOLD,
             max_num_matches=mp_cfg.MAX_NUM_MATCHES,
             estimate_extrinsics=cfg.ikfom.estimate_extrinsics,
-            shard_axis=shard_axis, num_shards=num_shards)
+            shard_axis=shard_axis, num_shards=num_shards,
+            knn_refresh=cfg.tpu.knn_refresh, x0=x_t2)
         x_u, P_u, n_iters = iekf.update_iterated(
             x_t2, P_t2, h_stats,
             R=cfg.ikfom.lidar_noise, D=cfg.ikfom.degeneracy_thresh,

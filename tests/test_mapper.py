@@ -41,7 +41,9 @@ class TestInsert:
     def test_occupied_voxels_match_numpy(self, rng):
         m = make_map(bucket=1)
         pts = rng.uniform(-20, 20, (1000, 3)).astype(np.float32)
-        m = mapper.insert(m, jnp.asarray(pts), jnp.ones(1000, bool), voxel_size=VOX)
+        # generous probe budget → no drops, must match exact unique-voxel count
+        m = mapper.insert(m, jnp.asarray(pts), jnp.ones(1000, bool),
+                          voxel_size=VOX, probes=32)
         want = len(np.unique(np.floor(pts / VOX).astype(np.int32), axis=0))
         assert int(m.num_points) == want
 
