@@ -255,6 +255,59 @@ class Localizer:
     def stamps(self) -> np.ndarray:
         return np.array([t["stamp"] for t in self.trajectory])
 
+    def get_world_state(self) -> dict:
+        """World-frame state (getWorldState, Localizer.cpp:175-189):
+        velocity expressed in the body frame, like the reference."""
+        if self.state is None:
+            return {}
+        from fast_limo_tpu.ops import so3
+        x = self.state.x
+        v_body = so3.quat_rotate(so3.quat_conj(x.rot), x.vel)
+        return {
+            "pos": np.asarray(x.pos), "quat": np.asarray(x.rot),
+            "vel_body": np.asarray(v_body),
+            "bg": np.asarray(x.bg), "ba": np.asarray(x.ba),
+            "grav": np.asarray(x.grav),
+            "time": (self.epoch or 0.0) + float(self.state.last_prop_time),
+        }
+
+    def get_body_state(self) -> dict:
+        """Body(LiDAR)-frame state (getBodyState, Localizer.cpp:158-173):
+        pose composed with the estimated extrinsics."""
+        out = self.get_world_state()
+        if not out:
+            return out
+        from fast_limo_tpu.ops import so3
+        import jax.numpy as jnp
+        x = self.state.x
+        out["pos"] = np.asarray(x.pos + x.t_LI)
+        out["quat"] = np.asarray(so3.quat_mul(x.rot, x.rot_LI))
+        return out
+
+    def get_pose_covariance(self) -> np.ndarray:
+        """6×6 pose covariance, position-first like ROS odometry
+        (getPoseCovariance, Localizer.cpp:209-224 swaps the rot/pos blocks)."""
+        if self.state is None:
+            return np.zeros((6, 6))
+        P = np.asarray(self.state.P)
+        out = np.zeros((6, 6))
+        out[0:3, 0:3] = P[0:3, 0:3]       # filter layout: pos first already
+        out[0:3, 3:6] = P[0:3, 3:6]
+        out[3:6, 0:3] = P[3:6, 0:3]
+        out[3:6, 3:6] = P[3:6, 3:6]
+        return out
+
+    def get_twist_covariance(self) -> np.ndarray:
+        """6×6 twist covariance (getTwistCovariance, Localizer.cpp:226-239):
+        linear block from the filter, angular block = gyro noise."""
+        if self.state is None:
+            return np.zeros((6, 6))
+        P = np.asarray(self.state.P)
+        out = np.zeros((6, 6))
+        out[0:3, 0:3] = P[12:15, 12:15]
+        out[3:6, 3:6] = np.eye(3) * self.cfg.ikfom.cov_gyro
+        return out
+
     def board(self) -> str:
         info = {}
         if self.trajectory:

@@ -130,12 +130,17 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 8,
 
     pending = valid & (rank < bucket)
 
+    # unpack meta for the probe loop: column scatters into the packed (C,4)
+    # layout lower to a slow XLA scatter path; separate (C,3)/(C,) arrays
+    # scatter at full speed and are repacked once at the end.
+    coords_a0 = m.meta[:, 0:3]
+    counts_a0 = m.meta[:, 3]
+
     def probe_body(p, carry):
-        meta_a, points_a, total, pending = carry
+        coords_a, counts_a, points_a, total, pending = carry
         slot = ((h + p) & (capacity - 1)).astype(jnp.int32)
 
-        slot_meta = meta_a[slot]                             # (N,4)
-        slot_count = slot_meta[:, 3]
+        slot_count = counts_a[slot]
         occupied = slot_count > 0
         empty = ~occupied
 
@@ -146,10 +151,10 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 8,
             jnp.where(want_claim, idxs.astype(jnp.int32), _INT_MAX), mode="drop")
         winner = want_claim & (claim_tbl[slot] == idxs)
         # publish winners' coords (count still 0 until placement below)
-        meta_a = meta_a.at[jnp.where(winner, slot, capacity), 0:3].set(
+        coords_a = coords_a.at[jnp.where(winner, slot, capacity)].set(
             vc, mode="drop")
 
-        resident = jnp.all(meta_a[slot, 0:3] == vc, axis=-1) & (
+        resident = jnp.all(coords_a[slot] == vc, axis=-1) & (
             occupied | (claim_tbl[slot] != _INT_MAX))
         resolves = pending & resident
 
@@ -160,17 +165,18 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 8,
             pts, mode="drop").reshape(capacity, bucket, 3)
 
         placed_n = place.astype(jnp.int32)
-        meta_a = meta_a.at[jnp.where(place, slot, capacity), 3].add(
+        counts_a = counts_a.at[jnp.where(place, slot, capacity)].add(
             placed_n, mode="drop")
         total = total + jnp.sum(placed_n, dtype=jnp.int32)
 
         pending = pending & ~resolves  # resolved (placed or bucket-full drop)
-        return meta_a, points_a, total, pending
+        return coords_a, counts_a, points_a, total, pending
 
-    meta_a, points_a, total, pending = jax.lax.fori_loop(
+    coords_a, counts_a, points_a, total, pending = jax.lax.fori_loop(
         0, probes, probe_body,
-        (m.meta, m.points, jnp.asarray(0, jnp.int32), pending),
+        (coords_a0, counts_a0, m.points, jnp.asarray(0, jnp.int32), pending),
     )
+    meta_a = jnp.concatenate([coords_a, counts_a[:, None]], axis=1)
     return VoxelHashMap(meta_a, points_a, m.num_points + total, m.last_time)
 
 
@@ -200,22 +206,23 @@ def gather_neighborhood(m: VoxelHashMap, queries, *, voxel_size: float,
         owned = None
         h = _hash(nc, capacity)
 
-    def probe_body(p, carry):
-        found_slot, done = carry
-        slot = ((h + p) & (capacity - 1)).astype(jnp.int32)
-        meta = m.meta[slot]                                    # (N,27,4)
-        occupied = meta[..., 3] > 0
-        match = occupied & jnp.all(meta[..., 0:3] == nc, axis=-1)
-        found_slot = jnp.where(~done & match, slot, found_slot)
-        done = done | match | ~occupied  # empty slot terminates the chain
-        return found_slot, done
+    # resolve all probe positions with ONE wide gather (latency beats the
+    # sequential fori_loop of 8 dependent gathers by ~2x on TPU)
+    slots = ((h[..., None] + jnp.arange(probes, dtype=jnp.int32))
+             & (capacity - 1)).astype(jnp.int32)               # (N,27,P)
+    meta = m.meta[slots]                                       # (N,27,P,4)
+    occupied = meta[..., 3] > 0
+    match = occupied & jnp.all(meta[..., 0:3] == nc[..., None, :], axis=-1)
+    # a chain is only alive up to the first empty slot (no deletions)
+    alive = jnp.cumprod(
+        jnp.concatenate([jnp.ones_like(occupied[..., :1]),
+                         occupied[..., :-1]], axis=-1), axis=-1).astype(bool)
+    valid_match = match & alive                                # (N,27,P)
+    any_hit = jnp.any(valid_match, axis=-1)
+    first = jnp.argmax(valid_match, axis=-1)                   # (N,27)
+    found_slot = jnp.take_along_axis(slots, first[..., None], axis=-1)[..., 0]
 
-    found_slot, _ = jax.lax.fori_loop(
-        0, probes, probe_body,
-        (jnp.full((N, 27), capacity, jnp.int32), jnp.zeros((N, 27), bool)),
-    )
-
-    hit = found_slot < capacity
+    hit = any_hit
     if owned is not None:
         hit = hit & owned
     slot_safe = jnp.where(hit, found_slot, 0)

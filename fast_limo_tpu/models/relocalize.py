@@ -1,0 +1,94 @@
+"""Map-based relocalization (the reference's `relocation/KISS-matcher`
+branch capability, README.md:35,201-215 — not in the snapshot; rebuilt here).
+
+Given a previously saved session (keyframe database + map), localize a new
+scan with NO pose prior:
+
+1. place retrieval: ScanContext distance against every stored keyframe
+   descriptor (batched shifted-correlation — one big vmap over the DB),
+2. coarse pose: the retrieved keyframe's pose ∘ yaw from the best sector
+   shift,
+3. refinement: coarse-to-fine ICP of the query cloud against the keyframe
+   cloud (KISS-Matcher-style global registration distilled to its
+   correspondence/solve core; the candidate pruning is what ScanContext
+   already did).
+
+Returns the world pose + confidence; feed it into a Localizer via
+``apply_to_localizer`` to continue odometry inside the old map.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fast_limo_tpu.models import icp, scancontext
+from fast_limo_tpu.ops import so3
+
+
+@dataclass
+class RelocResult:
+    success: bool
+    pos: np.ndarray
+    quat: np.ndarray
+    keyframe_index: int
+    sc_dist: float
+    icp_rmse: float
+    n_inliers: int
+
+
+def relocalize(query_cloud, query_valid, keyframes: List, *,
+               sc_thresh: float = 0.3, icp_max_rmse: float = 1.0,
+               icp_min_inliers: int = 150, top_k: int = 3) -> RelocResult:
+    """Localize a body-frame query scan against a keyframe database."""
+    fail = RelocResult(False, np.zeros(3), np.array([1.0, 0, 0, 0]), -1,
+                       np.inf, np.inf, 0)
+    if not keyframes:
+        return fail
+
+    qdesc = scancontext.descriptor(jnp.asarray(query_cloud),
+                                   jnp.asarray(query_valid))
+    descs = jnp.stack([jnp.asarray(k.desc) for k in keyframes])
+
+    dists, shifts = jax.vmap(lambda d: scancontext.distance(qdesc, d))(descs)
+    dists = np.asarray(dists)
+    order = np.argsort(dists)[:top_k]
+
+    best: Optional[RelocResult] = None
+    for ci in order:
+        if dists[ci] > sc_thresh:
+            break
+        kf = keyframes[int(ci)]
+        yaw = float(scancontext.shift_to_yaw(shifts[int(ci)]))
+        q0 = so3.exp_quat(jnp.asarray([0.0, 0.0, yaw], jnp.float32))
+        res = icp.icp(jnp.asarray(query_cloud), jnp.asarray(query_valid),
+                      jnp.asarray(kf.cloud), jnp.asarray(kf.cloud_valid),
+                      init_quat=q0, max_corr_dist=1.0, iters=20)
+        if (float(res.rmse) <= icp_max_rmse
+                and int(res.n_inliers) >= icp_min_inliers):
+            # world pose: T_world←query = T_world←kf ∘ T_kf←query(ICP)
+            qw = so3.quat_mul(jnp.asarray(kf.quat), res.quat)
+            pw = so3.quat_rotate(jnp.asarray(kf.quat), res.trans) + jnp.asarray(kf.pos)
+            cand = RelocResult(True, np.asarray(pw), np.asarray(qw), int(ci),
+                               float(dists[ci]), float(res.rmse),
+                               int(res.n_inliers))
+            if best is None or cand.icp_rmse < best.icp_rmse:
+                best = cand
+    return best if best is not None else fail
+
+
+def apply_to_localizer(localizer, result: RelocResult) -> None:
+    """Teleport the filter to the relocalized pose (keeps biases/extrinsics)."""
+    if not result.success:
+        raise ValueError("cannot apply failed relocalization")
+    s = localizer.state
+    x = s.x
+    localizer.state = s._replace(x=x._replace(
+        pos=jnp.asarray(result.pos, x.pos.dtype),
+        rot=jnp.asarray(result.quat, x.rot.dtype),
+        vel=jnp.zeros(3, x.vel.dtype),
+    ))

@@ -54,14 +54,20 @@ def ring_key(desc):
 
 
 def _colwise_cos(d1, d2):
-    """Mean column-wise cosine similarity of two (R,S) descriptors."""
+    """Mean column-wise cosine similarity of two (R,S) descriptors.
+
+    Columns where only ONE side is occupied score 0 and still count in the
+    mean — averaging over the overlap alone lets a wrong shift with two
+    accidentally-matching columns score 1.0 (sparse scenes alias badly).
+    """
     num = jnp.sum(d1 * d2, axis=0)
-    den = jnp.linalg.norm(d1, axis=0) * jnp.linalg.norm(d2, axis=0)
-    ok = den > 1e-9
-    sim = jnp.where(ok, num / jnp.where(ok, den, 1.0), 0.0)
-    # paper: average over columns where both are non-empty; count empty as 0
-    n_ok = jnp.maximum(jnp.sum(ok.astype(d1.dtype)), 1.0)
-    return jnp.sum(sim) / n_ok
+    n1 = jnp.linalg.norm(d1, axis=0)
+    n2 = jnp.linalg.norm(d2, axis=0)
+    both = (n1 > 1e-9) & (n2 > 1e-9)
+    either = (n1 > 1e-9) | (n2 > 1e-9)
+    sim = jnp.where(both, num / jnp.where(both, n1 * n2, 1.0), 0.0)
+    n_cols = jnp.maximum(jnp.sum(either.astype(d1.dtype)), 1.0)
+    return jnp.sum(sim) / n_cols
 
 
 @jax.jit

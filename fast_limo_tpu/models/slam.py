@@ -233,6 +233,52 @@ class SLAM:
                               voxel_size=vox, probes=cfg.tpu.hash_probes)
         self.loc.state = self.loc.state._replace(map=m)
 
+    # ------------------------------------------------------------- sessions
+    def save_session(self, prefix: str) -> None:
+        """Persist filter+map checkpoint and the keyframe database.
+
+        Enables the multi-session workflow (ONA configs, BASELINE.md):
+        a later run loads the session, relocalizes, and keeps mapping.
+        """
+        self.loc.save_checkpoint(prefix + ".state.npz")
+        np.savez_compressed(
+            prefix + ".keyframes.npz",
+            n=len(self.keyframes),
+            stamps=np.asarray([k.stamp for k in self.keyframes]),
+            pos=np.stack([k.pos for k in self.keyframes]) if self.keyframes else np.zeros((0, 3)),
+            quat=np.stack([k.quat for k in self.keyframes]) if self.keyframes else np.zeros((0, 4)),
+            desc=np.stack([k.desc for k in self.keyframes]) if self.keyframes else np.zeros((0, 1, 1)),
+            ring_key=np.stack([k.ring_key for k in self.keyframes]) if self.keyframes else np.zeros((0, 1)),
+            cloud=np.stack([k.cloud for k in self.keyframes]) if self.keyframes else np.zeros((0, 1, 3)),
+            cloud_valid=np.stack([k.cloud_valid for k in self.keyframes]) if self.keyframes else np.zeros((0, 1), bool),
+            loop_edges_i=np.asarray([e[0] for e in self.loop_edges], np.int32),
+            loop_edges_j=np.asarray([e[1] for e in self.loop_edges], np.int32),
+            loop_edges_q=np.stack([e[2] for e in self.loop_edges]) if self.loop_edges else np.zeros((0, 4)),
+            loop_edges_t=np.stack([e[3] for e in self.loop_edges]) if self.loop_edges else np.zeros((0, 3)),
+        )
+
+    def load_session(self, prefix: str) -> None:
+        self.loc.load_checkpoint(prefix + ".state.npz")
+        d = np.load(prefix + ".keyframes.npz")
+        self.keyframes = []
+        for k in range(int(d["n"])):
+            self.keyframes.append(Keyframe(
+                index=k, stamp=float(d["stamps"][k]),
+                pos=d["pos"][k], quat=d["quat"][k], desc=d["desc"][k],
+                ring_key=d["ring_key"][k], cloud=d["cloud"][k],
+                cloud_valid=d["cloud_valid"][k]))
+        self.loop_edges = [
+            (int(d["loop_edges_i"][k]), int(d["loop_edges_j"][k]),
+             d["loop_edges_q"][k], d["loop_edges_t"][k])
+            for k in range(len(d["loop_edges_i"]))]
+
+    def relocalize_scan(self, query_cloud, query_valid, **kw):
+        """Global relocalization of a body-frame scan against this session's
+        keyframe database (see models/relocalize.py)."""
+        from fast_limo_tpu.models import relocalize as rl
+
+        return rl.relocalize(query_cloud, query_valid, self.keyframes, **kw)
+
     # ------------------------------------------------------------- queries
     @property
     def trajectory(self):
