@@ -49,10 +49,11 @@ def kitti_like_cfg() -> Config:
     cfg.ikfom.mapping.octree.min_extent = 0.2    # kitti.yaml:87
     cfg.ikfom.estimate_extrinsics = True
     cfg.tpu.max_points_per_scan = 32768
-    cfg.tpu.map_capacity = 2 ** 19
-    cfg.tpu.map_points_per_voxel = 1
+    cfg.tpu.map_capacity = 2 ** 17
+    cfg.tpu.map_voxel_size = 0.8    # 27-neighborhood then covers the full
+    cfg.tpu.map_points_per_voxel = 3  # MAX_DIST_PLANE match radius (1.41 m)
     cfg.tpu.imu_batch = 32
-    cfg.tpu.hash_probes = 8
+    cfg.tpu.hash_probes = 4
     # resolve the voxel neighborhood once per scan instead of per update
     # iteration (pose moves millimetrically between iterations; ATE parity
     # verified on the synthetic benchmark — see tpu.knn_refresh docs)

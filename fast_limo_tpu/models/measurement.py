@@ -78,26 +78,35 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
         nbrs = jnp.take_along_axis(nbr_cat, top[..., None], axis=1)
         return nbrs, sq, jnp.isfinite(sq)
 
+    def _match(glob, cached_cands=None):
+        """kNN + plane fit + gates → (n_abcd, keep) at the given world pts."""
+        cand_pts, cand_valid = cached_cands if cached_cands is not None else _gather(glob)
+        nbrs, sq, vld = _topk(cand_pts, cand_valid, glob)
+        n_abcd, good = plane_op.fit_planes(
+            nbrs, sq, vld, num_match_points=k,
+            max_dist_plane=max_dist_plane, plane_threshold=plane_threshold)
+        good = good & pc_valid
+        # cap at MAX_NUM_MATCHES in point order (Localizer.cpp:539)
+        keep = good & (jnp.cumsum(good.astype(jnp.int32)) <= max_num_matches)
+        return n_abcd, keep
+
     if knn_refresh == "first":
+        # correspondences (neighbor sets, plane fits, gates) are resolved
+        # once at the predicted pose and held fixed across iterations — only
+        # residuals and Jacobians track the iterate. Between-iteration pose
+        # deltas are millimetric, so the frozen planes are the ones the
+        # re-match would find anyway; the dominant gather+fit cost is paid
+        # once per scan instead of per iteration.
         assert x0 is not None, "knn_refresh='first' needs the predicted pose x0"
         glob0 = so3.quat_rotate(x0.rot, pc) + x0.pos
-        cached = _gather(glob0)
+        frozen = _match(glob0)
 
     def h_rows(x: st.NavState):
         dtype = pc.dtype
         # world-frame query points under the current iterate (Mapper.cpp:71-72)
         glob = so3.quat_rotate(x.rot, pc) + x.pos
-        cand_pts, cand_valid = cached if knn_refresh == "first" else _gather(glob)
-        nbrs, sq, vld = _topk(cand_pts, cand_valid, glob)
-        n_abcd, good = plane_op.fit_planes(
-            nbrs, sq, vld, num_match_points=k,
-            max_dist_plane=max_dist_plane, plane_threshold=plane_threshold)
-
+        n_abcd, keep = frozen if knn_refresh == "first" else _match(glob)
         dist = plane_op.point_to_plane(n_abcd, glob)
-        good = good & pc_valid
-
-        # cap at MAX_NUM_MATCHES in point order (Localizer.cpp:539)
-        keep = good & (jnp.cumsum(good.astype(jnp.int32)) <= max_num_matches)
 
         n = n_abcd[:, :3]                                     # (N,3)
         # C = Rᵀ n ; A = p_imu × C ; B = p_lidar × (R_LIᵀ C)  (Localizer.cpp:549-569)
