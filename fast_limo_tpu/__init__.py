@@ -13,4 +13,12 @@ Reference parity notes cite `file:line` of the reference tree
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# TPU matmuls default to bfloat16 multiplies for float32 operands; the
+# filter's covariance algebra, plane fits, and Jacobian products need true
+# f32 (the reference runs them in double). The affected matmuls are tiny
+# (≤ 23×23, 12×M), so this costs nothing measurable.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 from fast_limo_tpu.utils.config import Config  # noqa: F401

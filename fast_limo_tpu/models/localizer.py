@@ -64,6 +64,12 @@ class Localizer:
         self._raw_outputs: List[tuple] = []               # (epoch, ScanOutput) device-side
         self._materialized: List[dict] = []               # lazily converted
         self.last_output = None                           # last ScanOutput (device)
+        self._structure_checked = False
+        self._scans_since_evict = 0
+        # rolling-origin eviction policy for bounded map capacity:
+        # evict when occupancy crosses the threshold (0 disables)
+        self.evict_radius: float = 0.0
+        self.evict_occupancy: float = 0.7
         self._R_imu2bl = np.array(cfg.extrinsics.imu2baselink_R, float).reshape(3, 3).T
 
     # ------------------------------------------------------------------ IMU
@@ -119,6 +125,10 @@ class Localizer:
         """Queue a scan; dispatched once IMU coverage reaches its end time."""
         if not self.imu_calibrated:
             return
+        if not self._structure_checked:  # once, like ROSutils.hpp:152 static
+            from fast_limo_tpu.utils import validation
+            validation.check_pointcloud(points, t_raw, self.cfg.sensor_type, stamp)
+            self._structure_checked = True
         points = np.ascontiguousarray(points, np.float32)
         t_raw = np.ascontiguousarray(t_raw, np.float32)
         t_abs = preprocess.extract_point_times(
@@ -194,6 +204,7 @@ class Localizer:
         )
         self.telemetry.scan_begin()
         self.state, out = self.scan_step(self.state, b)
+        self._maybe_evict(out)
         if self.sync_timing:
             import jax
             jax.block_until_ready(out)
@@ -206,6 +217,26 @@ class Localizer:
         # long computed, so materializing them is a pure transfer, no stall
         if len(self._raw_outputs) - len(self._materialized) > 64:
             self._materialize_upto(len(self._raw_outputs) - 32)
+
+    def _maybe_evict(self, out) -> None:
+        """Rolling-origin map eviction for long sequences (UTBM-scale runs).
+
+        When the hash table fills past ``evict_occupancy``, voxels beyond
+        ``evict_radius`` of the current position are freed (the octree in
+        the reference simply grows unboundedly)."""
+        if self.evict_radius <= 0:
+            return
+        self._scans_since_evict += 1
+        if self._scans_since_evict < 16:   # cheap cadence: check every 16 scans
+            return
+        self._scans_since_evict = 0
+        cap = self.cfg.tpu.map_capacity * self.cfg.map_points_per_voxel
+        if int(self.state.map.num_points) < self.evict_occupancy * cap:
+            return
+        from fast_limo_tpu.models import mapper
+        new_map = mapper.evict_far(self.state.map, out.pos, self.evict_radius,
+                                   voxel_size=self.cfg.map_voxel_size)
+        self.state = self.state._replace(map=new_map)
 
     def _init_device_state(self, first_stamp: float) -> None:
         cfg = self.cfg

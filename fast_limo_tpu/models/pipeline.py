@@ -260,3 +260,35 @@ def build_scan_step(cfg: Config, *, donate: bool = True, jit: bool = True,
     if jit:
         return jax.jit(scan_step, donate_argnums=(0,) if donate else ())
     return scan_step
+
+
+def build_imu_step(cfg: Config):
+    """Single-sample streaming predict for IMU-rate odometry output.
+
+    The offline/throughput path batches predictions inside scan_step; online
+    deployments can additionally call this per IMU tick to publish
+    world/body odometry between scans (updateIMU path, Localizer.cpp:401-531)
+    without touching the scan pipeline's carried state.
+    """
+    dtype = jnp.dtype(cfg.tpu.dtype)
+    R_imu2bl = jnp.asarray(
+        np.array(cfg.extrinsics.imu2baselink_R, np.float64).reshape(3, 3).T, dtype)
+    t_imu2bl = jnp.asarray(cfg.extrinsics.imu2baselink_t, dtype)
+    sm = jnp.asarray(np.array(cfg.intrinsics.imu_sm, np.float64).reshape(3, 3), dtype)
+    Q = proc.process_noise_Q(cfg.ikfom.cov_gyro, cfg.ikfom.cov_acc,
+                             cfg.ikfom.cov_bias_gyro, cfg.ikfom.cov_bias_acc, dtype)
+
+    def imu_step(x, P, prev_state, acc_raw, gyro_raw, stamp, prev_stamp):
+        """(x', P', aux) — aux carries the baselink-frame raw gyro for the
+        lever-arm chain and the corrected measurements."""
+        acc_bl, gyro_bl, dt = preprocess.imu_to_baselink(
+            acc_raw[None], gyro_raw[None], stamp[None],
+            prev_stamp, prev_state["w_raw_bl"],
+            R_imu2bl=R_imu2bl, t_imu2bl=t_imu2bl)
+        acc_c, gyro_c = preprocess.apply_intrinsics(
+            acc_bl, gyro_bl, sm, prev_state["ba_corr"], prev_state["bg_corr"])
+        x2, P2 = iekf.predict(x, P, acc_c[0], gyro_c[0], dt[0], Q)
+        aux = {"w_raw_bl": gyro_bl[0], "w": gyro_c[0], "a": acc_c[0]}
+        return x2, P2, aux
+
+    return jax.jit(imu_step)
