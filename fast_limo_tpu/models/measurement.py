@@ -29,16 +29,24 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
                  max_dist_plane: float, plane_threshold: float,
                  max_num_matches: int, estimate_extrinsics: bool,
                  shard_axis: str = None, num_shards: int = 1,
+                 query_axis: str = None, num_query_shards: int = 1,
                  knn_refresh: str = "always", x0: st.NavState = None):
     """Build the measurement closures over baselink-frame points pc.
 
-    Returns ``(h_rows, h_stats)`` where ``h_rows(x) -> (H (N,12), h (N,))``
-    gives the raw Jacobian rows (zero for invalid matches) and
-    ``h_stats(x) -> (HᵀH, Hᵀh)`` the sufficient statistics consumed by
-    `iekf.update_iterated`.
+    Returns ``(h_rows, h_stats)`` where ``h_rows(x) -> (H (Nq,12), h (Nq,))``
+    gives the raw Jacobian rows (zero for invalid matches; Nq = this
+    device's query slice) and ``h_stats(x) -> (HᵀH, Hᵀh)`` the sufficient
+    statistics consumed by `iekf.update_iterated`.
 
     ``pc`` is the deskewed pc2match cloud in the baselink (Xt2) frame,
     already capped to MAX_NUM_PC2MATCH points (Mapper.cpp:63-69).
+
+    Parallelism (both optional, composable on a 2-D mesh):
+    * ``shard_axis``: the map lives sharded by hash ownership; per-shard
+      kNN top-k candidates merge over ICI with ``all_gather``.
+    * ``query_axis``: each device matches only its 1/num_query_shards slice
+      of the queries; HᵀH/Hᵀh are ``psum``-reduced — linear throughput
+      scaling of the gather/fit/Jacobian work.
 
     ``knn_refresh``: "always" re-resolves the voxel neighborhood at every
     update iteration (exact reference semantics — h_share_model re-matches
@@ -48,6 +56,14 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
     unchanged in practice while the dominant gather cost is paid once.
     """
     assert knn_refresh in ("always", "first")
+
+    if query_axis is not None:
+        import jax
+
+        Nq = pc.shape[0] // num_query_shards
+        qidx = jax.lax.axis_index(query_axis)
+        pc = jax.lax.dynamic_slice_in_dim(pc, qidx * Nq, Nq, axis=0)
+        pc_valid = jax.lax.dynamic_slice_in_dim(pc_valid, qidx * Nq, Nq, axis=0)
 
     def _gather(glob):
         if shard_axis is None:
@@ -86,8 +102,18 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
             nbrs, sq, vld, num_match_points=k,
             max_dist_plane=max_dist_plane, plane_threshold=plane_threshold)
         good = good & pc_valid
-        # cap at MAX_NUM_MATCHES in point order (Localizer.cpp:539)
-        keep = good & (jnp.cumsum(good.astype(jnp.int32)) <= max_num_matches)
+        # cap at MAX_NUM_MATCHES in point order (Localizer.cpp:539); with
+        # query sharding the cap needs the exclusive prefix of lower shards
+        local_cum = jnp.cumsum(good.astype(jnp.int32))
+        if query_axis is not None:
+            import jax
+
+            totals = jax.lax.all_gather(local_cum[-1], query_axis)  # (D,)
+            qidx = jax.lax.axis_index(query_axis)
+            prefix = jnp.sum(jnp.where(
+                jnp.arange(num_query_shards) < qidx, totals, 0))
+            local_cum = local_cum + prefix
+        keep = good & (local_cum <= max_num_matches)
         return n_abcd, keep
 
     if knn_refresh == "first":
@@ -129,6 +155,12 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
 
     def h_stats(x: st.NavState):
         H, h = h_rows(x)
-        return H.T @ H, H.T @ h
+        HTH, HTh = H.T @ H, H.T @ h
+        if query_axis is not None:
+            import jax
+
+            HTH = jax.lax.psum(HTH, query_axis)
+            HTh = jax.lax.psum(HTh, query_axis)
+        return HTH, HTh
 
     return h_rows, h_stats

@@ -119,13 +119,16 @@ def init_state(cfg: Config, dtype=None) -> LIOState:
 
 
 def build_scan_step(cfg: Config, *, donate: bool = True, jit: bool = True,
-                    shard_axis: str = None, num_shards: int = 1):
+                    shard_axis: str = None, num_shards: int = 1,
+                    query_axis: str = None, num_query_shards: int = 1):
     """Compile the per-scan step for a static config.
 
     With ``shard_axis`` set, the body is written for `jax.shard_map` over a
     device mesh: the voxel-hash map lives sharded by hash-ownership, kNN
     candidates merge over ICI (all_gather in the measurement model), map
     insertion is owner-filtered, and everything else is replicated.
+    ``query_axis`` additionally shards the matching work over a second mesh
+    axis (HᵀH psum) for throughput scaling; both compose on a 2-D mesh.
     """
     mp_cfg = cfg.ikfom.mapping
     voxel_size = cfg.map_voxel_size
@@ -198,6 +201,7 @@ def build_scan_step(cfg: Config, *, donate: bool = True, jit: bool = True,
             max_num_matches=mp_cfg.MAX_NUM_MATCHES,
             estimate_extrinsics=cfg.ikfom.estimate_extrinsics,
             shard_axis=shard_axis, num_shards=num_shards,
+            query_axis=query_axis, num_query_shards=num_query_shards,
             knn_refresh=cfg.tpu.knn_refresh, x0=x_t2)
         x_u, P_u, n_iters = iekf.update_iterated(
             x_t2, P_t2, h_stats,

@@ -24,6 +24,7 @@ from fast_limo_tpu.models import pipeline as pl
 from fast_limo_tpu.utils.config import Config
 
 AXIS = "map"
+QUERY_AXIS = "data"
 
 
 def make_mesh(n_devices: int, devices=None) -> Mesh:
@@ -33,6 +34,21 @@ def make_mesh(n_devices: int, devices=None) -> Mesh:
     import numpy as np
 
     return Mesh(np.asarray(devices[:n_devices]), (AXIS,))
+
+
+def make_mesh_2d(n_map: int, n_data: int, devices=None) -> Mesh:
+    """2-D mesh: 'map' (hash-sharded map memory) × 'data' (query throughput).
+
+    On a pod slice, lay 'map' along ICI-adjacent devices so the per-scan
+    kNN all_gather rides the fast links; 'data' only moves 12×12 psums.
+    """
+    n = n_map * n_data
+    devices = devices if devices is not None else jax.devices()[:n]
+    assert len(devices) >= n
+    import numpy as np
+
+    return Mesh(np.asarray(devices[:n]).reshape(n_map, n_data),
+                (AXIS, QUERY_AXIS))
 
 
 def _state_specs(cfg: Config) -> pl.LIOState:
@@ -61,12 +77,17 @@ def build_sharded_scan_step(cfg: Config, mesh: Mesh) -> Tuple:
     """Returns (jitted sharded scan_step, initial sharded LIOState).
 
     ``cfg.tpu.map_capacity`` is the PER-DEVICE shard capacity; the global
-    table has ``map_capacity * num_shards`` slots.
+    table has ``map_capacity * n_map_shards`` slots.  Works on a 1-D
+    ('map',) or 2-D ('map','data') mesh — the 'data' axis additionally
+    shards the matching work (query slices + HᵀH psum).
     """
-    n = mesh.devices.size
-    assert cfg.tpu.num_map_shards in (0, 1, n) or cfg.tpu.num_map_shards == n
-    inner = pl.build_scan_step(cfg, donate=False, jit=False,
-                               shard_axis=AXIS, num_shards=n)
+    n = mesh.shape[AXIS]
+    has_query = QUERY_AXIS in mesh.shape
+    n_q = mesh.shape.get(QUERY_AXIS, 1) if has_query else 1
+    inner = pl.build_scan_step(
+        cfg, donate=False, jit=False,
+        shard_axis=AXIS, num_shards=n,
+        query_axis=QUERY_AXIS if has_query else None, num_query_shards=n_q)
 
     step = jax.jit(
         jax.shard_map(

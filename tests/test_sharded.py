@@ -50,3 +50,31 @@ class TestSharded:
 
     def test_eight_device_mesh(self):
         ge.dryrun_multichip(8)
+
+
+@needs_devices
+class TestMesh2D:
+    def test_2d_mesh_matches_single_chip(self):
+        from fast_limo_tpu.parallel import sharded as sh
+
+        cfg_s = ge._tiny_cfg(n_pts=512, map_cap=1024, n_shards=2)
+        mesh = sh.make_mesh_2d(2, 2)
+        step_sh, state_sh = sh.build_sharded_scan_step(cfg_s, mesh)
+
+        cfg_1 = ge._tiny_cfg(n_pts=512, map_cap=1024 * 2, n_shards=1)
+        step_1 = pl.build_scan_step(cfg_1, donate=False)
+        state_1 = pl.init_state(cfg_1)
+
+        for i in range(3):
+            batch = ge._example_batch(cfg_s, seed=i)
+            state_sh, out_sh = step_sh(state_sh, batch)
+            state_1, out_1 = step_1(state_1, batch)
+
+        np.testing.assert_allclose(np.asarray(out_sh.pos), np.asarray(out_1.pos),
+                                   atol=1e-4)
+        # probe chains wrap within shards vs across the global table, so at
+        # high load the stored-point counts differ slightly (layout detail)
+        n_s, n_1 = int(state_sh.map.num_points), int(state_1.map.num_points)
+        assert abs(n_s - n_1) <= 0.05 * max(n_s, n_1)
+        np.testing.assert_allclose(np.asarray(state_sh.P), np.asarray(state_1.P),
+                                   atol=1e-3)
