@@ -54,6 +54,7 @@ def kitti_like_cfg() -> Config:
     cfg.tpu.map_points_per_voxel = 3  # MAX_DIST_PLANE match radius (1.41 m)
     cfg.tpu.imu_batch = 32
     cfg.tpu.hash_probes = 4
+    cfg.tpu.insert_probes = 2
     # resolve the voxel neighborhood once per scan instead of per update
     # iteration (pose moves millimetrically between iterations; ATE parity
     # verified on the synthetic benchmark — see tpu.knn_refresh docs)

@@ -221,9 +221,10 @@ def build_scan_step(cfg: Config, *, donate: bool = True, jit: bool = True,
             shard_index = 0
         else:
             shard_index = jax.lax.axis_index(shard_axis)
+        insert_probes = cfg.tpu.insert_probes or probes
         new_map = mapper.insert(
             s.map, w_scan, pc2_valid & do_update,
-            voxel_size=voxel_size, probes=probes,
+            voxel_size=voxel_size, probes=insert_probes,
             num_shards=num_shards, shard_index=shard_index)
         if shard_axis is not None:
             # keep num_points a replicated GLOBAL count (psum of shard deltas)

@@ -82,9 +82,17 @@ def _edge_residual(qi, ti, qj, tj, qm, tm, di, dj):
     return se3.log(q_err, t_err)
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
-def optimize(g: PoseGraph, *, iters: int = 10, damping: float = 1e-6) -> PoseGraph:
-    """Batched Gauss-Newton over all valid nodes/edges; node 0 held fixed."""
+@functools.partial(jax.jit, static_argnames=("iters", "edge_axis"))
+def optimize(g: PoseGraph, *, iters: int = 10, damping: float = 1e-6,
+             edge_axis: str = None) -> PoseGraph:
+    """Batched Gauss-Newton over all valid nodes/edges; node 0 held fixed.
+
+    ``edge_axis``: when running under `shard_map` with the EDGE arrays
+    sharded over a mesh axis (nodes replicated), each device accumulates the
+    normal equations for its edge slice and the dense H/b are psum-reduced
+    over ICI before the (replicated) solve — the distributed pose-graph
+    factor reduction of the north star.
+    """
     K = g.quat.shape[0]
     dtype = g.quat.dtype
     zero6 = jnp.zeros(6, dtype)
@@ -124,6 +132,9 @@ def optimize(g: PoseGraph, *, iters: int = 10, damping: float = 1e-6) -> PoseGra
 
         Hd = H.reshape(6 * K, 6 * K)
         bd = b.reshape(6 * K)
+        if edge_axis is not None:  # reduce sharded edge factors over ICI
+            Hd = jax.lax.psum(Hd, edge_axis)
+            bd = jax.lax.psum(bd, edge_axis)
         # gauge: clamp node 0; deactivate invalid nodes
         active = jnp.repeat(g.node_valid.at[0].set(False), 6)
         Hd = jnp.where(active[:, None] & active[None, :], Hd, 0.0)
@@ -136,8 +147,39 @@ def optimize(g: PoseGraph, *, iters: int = 10, damping: float = 1e-6) -> PoseGra
         trans = trans + so3.quat_rotate(quat, dt)   # T ← T·exp(δ)
         quat = so3.quat_normalize(so3.quat_mul(quat, dq))
         cost = jnp.sum(w * jnp.sum(r * r, axis=-1))
+        if edge_axis is not None:
+            cost = jax.lax.psum(cost, edge_axis)
         return (quat, trans), cost
 
     (quat, trans), costs = jax.lax.scan(gn_step, (g.quat, g.trans), None,
                                         length=iters)
     return g._replace(quat=quat, trans=trans), costs
+
+
+def optimize_distributed(g: PoseGraph, mesh, *, iters: int = 10,
+                         axis: str = "map"):
+    """Pose-graph GN with edge factors sharded across the mesh.
+
+    Nodes are replicated; each device computes residuals/Jacobians for its
+    slice of the edge arrays and the dense normal equations psum over ICI.
+    Edge count must be divisible by the mesh axis size.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis]
+    E = g.edge_i.shape[0]
+    assert E % n == 0, f"edge capacity {E} not divisible by {n} devices"
+
+    specs = PoseGraph(
+        quat=P(), trans=P(), node_valid=P(),
+        edge_i=P(axis), edge_j=P(axis), edge_quat=P(axis),
+        edge_trans=P(axis), edge_weight=P(axis),
+        n_nodes=P(), n_edges=P())
+
+    def inner(gg):
+        return optimize(gg, iters=iters, edge_axis=axis)
+
+    fn = jax.jit(jax.shard_map(
+        inner, mesh=mesh, in_specs=(specs,),
+        out_specs=(specs, P()), check_vma=False))
+    return fn(g)

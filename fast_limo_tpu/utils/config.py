@@ -103,7 +103,10 @@ class TPUConfig:
     map_capacity: int = 2 ** 19           # voxel-hash slots
     map_voxel_size: float = 0.0           # 0 → derived as 2*octree.min_extent
     map_points_per_voxel: int = 0         # 0 → derived from bucket_size (see mapper)
-    hash_probes: int = 8                  # max linear probes on insert/lookup
+    hash_probes: int = 8                  # max linear probes on lookup
+    insert_probes: int = 0                # insert probe budget (0 → hash_probes);
+                                          # must be ≤ hash_probes so lookups
+                                          # always cover the chains inserts create
     knn_refresh: str = "always"           # "always" (reference parity) | "first"
     deskew_frames: int = 128              # max propagated states per scan window
     imu_batch: int = 64                   # max IMU samples integrated per scan step

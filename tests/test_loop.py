@@ -191,3 +191,30 @@ def _apply(a, rel):
     q = np.asarray(so3.quat_mul(jnp.asarray(qa), jnp.asarray(qr)))
     t = ta + np.asarray(so3.quat_rotate(jnp.asarray(qa), jnp.asarray(tr)))
     return q, t
+
+
+class TestDistributedPoseGraph:
+    @pytest.mark.skipif(__import__("jax").device_count() < 4,
+                        reason="needs >=4 devices")
+    def test_matches_single_device(self):
+        from fast_limo_tpu.parallel import sharded as sh
+
+        K, E = 8, 16
+        g = posegraph.create(K, E)
+        rngl = np.random.default_rng(1)
+        poses = [(np.array([1.0, 0, 0, 0]), np.array([float(k), 0.1 * k, 0]))
+                 for k in range(6)]
+        for q, t in poses:
+            g = posegraph.add_node(g, jnp.asarray(q, jnp.float32),
+                                   jnp.asarray(t, jnp.float32))
+        for k in range(1, 6):
+            qr, tr = _rel(poses[k - 1], poses[k])
+            g = posegraph.add_edge(g, k - 1, k, jnp.asarray(qr, jnp.float32),
+                                   jnp.asarray(tr + rngl.normal(0, 0.05, 3),
+                                               jnp.float32))
+        g1, c1 = posegraph.optimize(g, iters=5)
+        mesh = sh.make_mesh(4)
+        g2, c2 = posegraph.optimize_distributed(g, mesh, iters=5, axis="map")
+        np.testing.assert_allclose(np.asarray(g2.trans), np.asarray(g1.trans),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), rtol=1e-4)
