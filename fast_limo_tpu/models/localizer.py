@@ -151,6 +151,8 @@ class Localizer:
         cfg = self.cfg
         if self.state is None:
             self._init_device_state(scan.stamp)
+        elif self.epoch is None:   # loaded session with a fresh clock
+            self._anchor_epoch(scan.stamp)
 
         # IMU batch: every pending sample up to (incl.) the first one ≥ scan end
         batch = []
@@ -365,8 +367,12 @@ class Localizer:
             "init_quat": self.init_quat.tolist(),
         })
 
-    def load_checkpoint(self, path: str) -> None:
-        """Resume from a checkpoint (continues mapping/localizing in it)."""
+    def load_checkpoint(self, path: str, reset_clock: bool = False) -> None:
+        """Resume from a checkpoint (continues mapping/localizing in it).
+
+        ``reset_clock=True`` for multi-session use: the new run's timestamps
+        are unrelated to the saved ones, so the carried device times and
+        epoch restart from the next incoming scan."""
         template = self.state if self.state is not None else pl.init_state(self.cfg)
         self.state = ckpt.load_state(path, template)
         extra = ckpt.load_extra(path)
@@ -375,3 +381,31 @@ class Localizer:
         self.init_bg = np.asarray(extra.get("init_bg", self.init_bg))
         self.init_ba = np.asarray(extra.get("init_ba", self.init_ba))
         self.init_quat = np.asarray(extra.get("init_quat", self.init_quat))
+        if reset_clock:
+            self.reset_clock()
+
+    def reset_clock(self) -> None:
+        """Restart the time base (new session): epoch re-anchors on the next
+        scan; device time carries and sensor queues are cleared."""
+        import jax.numpy as jnp
+
+        self.epoch = None
+        self._imu_queue.clear()
+        self._scan_queue.clear()
+        self._newest_imu_stamp = -np.inf
+        self._first_imu_stamp = None
+        if self.state is not None:
+            self.state = self.state._replace(
+                prev_scan_stamp=jnp.asarray(0.0, jnp.float32),
+                last_prop_time=jnp.asarray(0.0, jnp.float32),
+            )
+
+    def _anchor_epoch(self, first_stamp: float) -> None:
+        """Re-anchor the epoch for a loaded session (first scan of a new run)."""
+        import jax.numpy as jnp
+
+        prev_time = (self._imu_queue[0][0] - first_stamp - self._imu_period_est
+                     if self._imu_queue else -self._imu_period_est)
+        self.state = self.state._replace(
+            last_prop_time=jnp.asarray(prev_time, jnp.float32))
+        self.epoch = first_stamp

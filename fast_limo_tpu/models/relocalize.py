@@ -81,14 +81,37 @@ def relocalize(query_cloud, query_valid, keyframes: List, *,
     return best if best is not None else fail
 
 
-def apply_to_localizer(localizer, result: RelocResult) -> None:
+def relocalize_pair(cloud_a, valid_a, cloud_b, valid_b, dt: float,
+                    keyframes: List, **kw):
+    """Relocalize two consecutive scans and derive the world velocity.
+
+    Resuming mid-motion with zero velocity makes the filter re-converge
+    through a multi-meter transient; two relocalized poses ``dt`` apart give
+    v ≈ Δp/dt. Returns (result_b, velocity (3,)) — result_b.success requires
+    BOTH scans to localize consistently (|Δp| plausible for dt).
+    """
+    ra = relocalize(cloud_a, valid_a, keyframes, **kw)
+    rb = relocalize(cloud_b, valid_b, keyframes, **kw)
+    if not (ra.success and rb.success):
+        return RelocResult(False, np.zeros(3), np.array([1.0, 0, 0, 0]), -1,
+                           np.inf, np.inf, 0), np.zeros(3)
+    vel = (rb.pos - ra.pos) / max(dt, 1e-6)
+    if np.linalg.norm(vel) > 50.0:     # inconsistent pair
+        return RelocResult(False, rb.pos, rb.quat, rb.keyframe_index,
+                           rb.sc_dist, rb.icp_rmse, rb.n_inliers), np.zeros(3)
+    return rb, vel
+
+
+def apply_to_localizer(localizer, result: RelocResult, velocity=None) -> None:
     """Teleport the filter to the relocalized pose (keeps biases/extrinsics)."""
     if not result.success:
         raise ValueError("cannot apply failed relocalization")
     s = localizer.state
     x = s.x
+    vel = jnp.zeros(3, x.vel.dtype) if velocity is None else jnp.asarray(
+        velocity, x.vel.dtype)
     localizer.state = s._replace(x=x._replace(
         pos=jnp.asarray(result.pos, x.pos.dtype),
         rot=jnp.asarray(result.quat, x.rot.dtype),
-        vel=jnp.zeros(3, x.vel.dtype),
+        vel=vel,
     ))

@@ -257,8 +257,8 @@ class SLAM:
             loop_edges_t=np.stack([e[3] for e in self.loop_edges]) if self.loop_edges else np.zeros((0, 3)),
         )
 
-    def load_session(self, prefix: str) -> None:
-        self.loc.load_checkpoint(prefix + ".state.npz")
+    def load_session(self, prefix: str, reset_clock: bool = True) -> None:
+        self.loc.load_checkpoint(prefix + ".state.npz", reset_clock=reset_clock)
         d = np.load(prefix + ".keyframes.npz")
         self.keyframes = []
         for k in range(int(d["n"])):

@@ -1,0 +1,110 @@
+"""Pallas TPU kernel: fused masked squared-distance + k-smallest selection.
+
+The kNN hot path ends with "distances to ≤81 candidates, keep the k=5
+smallest" per query. `lax.top_k` sorts the whole row; this kernel runs k
+min-extraction passes on the VPU with one-hot selection (no per-row
+gathers), fused with the distance computation so the (N,81) distance matrix
+never round-trips HBM.
+
+Falls back to pure jnp (identical semantics) off-TPU; the Pallas path is
+validated against the fallback in interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+_BLK = 512  # queries per grid step
+
+
+def _topk_kernel(cx_ref, cy_ref, cz_ref, valid_ref, qx_ref, qy_ref, qz_ref,
+                 sq_ref, nx_ref, ny_ref, nz_ref, *, k: int):
+    dx = cx_ref[:] - qx_ref[:]
+    dy = cy_ref[:] - qy_ref[:]
+    dz = cz_ref[:] - qz_ref[:]
+    d2 = dx * dx + dy * dy + dz * dz                       # (BLK, C)
+    d2 = jnp.where(valid_ref[:] != 0, d2, jnp.inf)
+
+    C = d2.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    for i in range(k):
+        m = jnp.min(d2, axis=1, keepdims=True)             # (BLK,1)
+        amin = jnp.argmin(d2, axis=1)[:, None]             # (BLK,1)
+        onehot = (col == amin).astype(d2.dtype)            # (BLK,C)
+        sq_ref[:, i] = m[:, 0]
+        nx_ref[:, i] = jnp.sum(cx_ref[:] * onehot, axis=1)
+        ny_ref[:, i] = jnp.sum(cy_ref[:] * onehot, axis=1)
+        nz_ref[:, i] = jnp.sum(cz_ref[:] * onehot, axis=1)
+        d2 = jnp.where(col == amin, jnp.inf, d2)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def masked_topk(cand_pts, cand_valid, queries, *, k: int, interpret: bool = False):
+    """k nearest of the per-query candidate sets (Pallas TPU kernel).
+
+    cand_pts (N,C,3), cand_valid (N,C), queries (N,3) →
+    (nbrs (N,k,3), sq (N,k) ascending, valid (N,k)).
+    """
+    N, C, _ = cand_pts.shape
+    dtype = cand_pts.dtype
+    # pad N to a block multiple and C to the lane width
+    Np = (N + _BLK - 1) // _BLK * _BLK
+    Cp = (C + 127) // 128 * 128
+
+    def pad(a, val):
+        return jnp.pad(a, ((0, Np - N), (0, Cp - C)), constant_values=val)
+
+    cx = pad(cand_pts[..., 0], 0.0)
+    cy = pad(cand_pts[..., 1], 0.0)
+    cz = pad(cand_pts[..., 2], 0.0)
+    vv = pad(cand_valid.astype(jnp.int32), 0)
+    qx = jnp.pad(queries[:, 0], (0, Np - N))[:, None]
+    qy = jnp.pad(queries[:, 1], (0, Np - N))[:, None]
+    qz = jnp.pad(queries[:, 2], (0, Np - N))[:, None]
+
+    cand_spec = pl.BlockSpec((_BLK, Cp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((_BLK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((_BLK, k), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    sq, nx, ny, nz = pl.pallas_call(
+        functools.partial(_topk_kernel, k=k),
+        grid=(Np // _BLK,),
+        in_specs=[cand_spec, cand_spec, cand_spec, cand_spec,
+                  q_spec, q_spec, q_spec],
+        out_specs=(out_spec, out_spec, out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((Np, k), dtype),
+            jax.ShapeDtypeStruct((Np, k), dtype),
+            jax.ShapeDtypeStruct((Np, k), dtype),
+            jax.ShapeDtypeStruct((Np, k), dtype),
+        ),
+        interpret=interpret,
+    )(cx, cy, cz, vv, qx, qy, qz)
+
+    sq = sq[:N]
+    nbrs = jnp.stack([nx[:N], ny[:N], nz[:N]], axis=-1)
+    valid = jnp.isfinite(sq)
+    return nbrs, jnp.where(valid, sq, jnp.inf), valid
+
+
+def masked_topk_reference(cand_pts, cand_valid, queries, *, k: int):
+    """Pure-jnp fallback with identical semantics (lax.top_k based)."""
+    N = queries.shape[0]
+    diff = cand_pts - queries[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    d2 = jnp.where(cand_valid, d2, jnp.inf)
+    neg, idx = jax.lax.top_k(-d2, k)
+    sq = -neg
+    nbrs = jnp.take_along_axis(cand_pts, idx[..., None], axis=1)
+    valid = jnp.isfinite(sq)
+    return nbrs, jnp.where(valid, sq, jnp.inf), valid

@@ -94,3 +94,64 @@ class TestSession:
         res = slam2.relocalize_scan(kf.cloud, kf.cloud_valid, sc_thresh=0.5)
         assert res.success
         assert np.linalg.norm(res.pos - kf.pos) < 1.0
+
+
+@pytest.mark.slow
+class TestMultiSession:
+    def test_relocalize_and_continue(self, tmp_path):
+        """ONA-style workflow: map in session 1; a new run starts mid-route,
+        relocalizes against the saved session, and keeps tracking in the
+        session-1 world frame."""
+        from fast_limo_tpu.io import synthetic
+        from fast_limo_tpu.models import relocalize as rlz
+
+        cfg = small_cfg()
+        cfg.tpu.max_points_per_scan = 3072
+        cfg.ikfom.mapping.MAX_NUM_PC2MATCH = 3072
+        cfg.tpu.imu_batch = 64
+
+        seq = loop_seq(40)
+        # ---- session 1: map the first 30 scans ----
+        s1 = SLAM(cfg, LoopConfig(kf_dist=1.5, exclude_recent=50))
+        drive(s1, seq, 30)
+        prefix = str(tmp_path / "ona")
+        s1.save_session(prefix)
+        t_resume = s1.trajectory[-1]["stamp"]
+
+        # ---- session 2: resume near the end of session 1's route ----
+        s2 = SLAM(cfg, LoopConfig(kf_dist=1.5, exclude_recent=50))
+        s2.load_session(prefix)
+
+        # relocalize with a scan taken at the resume point
+        stamps, acc, gyro = seq.imu_stream()
+        scans = [seq.scan(i) for i in range(40)]
+        st_a, pts_a, _ = scans[28]
+        st0, pts0, _ = scans[29]
+        res, vel = rlz.relocalize_pair(
+            pts_a[:3072], np.ones(min(len(pts_a), 3072), bool),
+            pts0[:3072], np.ones(min(len(pts0), 3072), bool),
+            st0 - st_a, s2.keyframes, sc_thresh=0.5)
+        assert res.success
+        gt_p, _ = seq.gt_pose(st0)
+        assert np.linalg.norm(res.pos - gt_p) < 1.5
+        gt_v = seq.traj.vel(st0)
+        assert np.linalg.norm(vel - gt_v) < 2.0
+        rlz.apply_to_localizer(s2.loc, res, velocity=vel)
+
+        # continue feeding the remaining sensor stream
+        si = 30
+        for k in range(len(stamps)):
+            if stamps[k] <= st0:
+                continue
+            s2.update_imu(stamps[k], acc[k], gyro[k])
+            while si < 40 and scans[si][0] <= stamps[k]:
+                ss, pp, tt = scans[si]
+                s2.update_pointcloud(pp, tt, ss)
+                si += 1
+
+        assert len(s2.trajectory) >= 8
+        est = s2.positions()
+        gt = seq.traj.pos(s2.stamps())
+        err = np.linalg.norm(est - gt, axis=1)
+        assert err[-1] < 1.2, f"session-2 errors: {err.round(2)}"
+        assert err[-1] <= err.max() + 1e-6  # not diverging
