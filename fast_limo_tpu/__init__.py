@@ -21,4 +21,17 @@ import jax as _jax
 # (≤ 23×23, 12×M), so this costs nothing measurable.
 _jax.config.update("jax_default_matmul_precision", "float32")
 
+# Persistent compilation cache: first compile over the tunneled TPU takes
+# minutes; cache it so repeat CLI/bench invocations start in seconds.
+import os as _os
+
+_cache_dir = _os.environ.get("FAST_LIMO_TPU_CACHE",
+                             _os.path.expanduser("~/.cache/fast_limo_tpu_xla"))
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - cache is an optimization only
+    pass
+
 from fast_limo_tpu.utils.config import Config  # noqa: F401

@@ -14,11 +14,13 @@ import json
 import sys
 
 
-def _build(args):
+def _build(args, tweak=None):
     from fast_limo_tpu.models.slam import SLAM
     from fast_limo_tpu.utils.config import Config
 
     cfg = Config.from_yaml(args.config) if args.config else Config()
+    if tweak is not None:
+        tweak(cfg)  # must run before SLAM(): Localizer snapshots flags at init
     if args.no_loop:
         return cfg, SLAM(cfg, enable_loop_closure=False)
     return cfg, SLAM(cfg)
@@ -30,10 +32,13 @@ def cmd_synthetic(args):
     from fast_limo_tpu.io import synthetic
     from fast_limo_tpu.utils import evaluation
 
-    cfg, slam = _build(args)
-    cfg.gravity_align = cfg.calibrate_accel = cfg.calibrate_gyro = False
-    cfg.intrinsics.accel_bias = [0.0] * 3
-    cfg.intrinsics.gyro_bias = [0.0] * 3
+    def tweak(cfg):
+        # the synthetic world emits bias-free, gravity-aligned IMU
+        cfg.gravity_align = cfg.calibrate_accel = cfg.calibrate_gyro = False
+        cfg.intrinsics.accel_bias = [0.0] * 3
+        cfg.intrinsics.gyro_bias = [0.0] * 3
+
+    cfg, slam = _build(args, tweak)
 
     seq = synthetic.SyntheticSequence(
         seed=args.seed, n_scans=args.scans,
@@ -82,24 +87,41 @@ def cmd_kitti(args):
 
 
 def main(argv=None):
-    p = argparse.ArgumentParser(prog="fast_limo_tpu")
-    p.add_argument("--config", default=None, help="YAML profile (reference format ok)")
-    p.add_argument("--out", default=None, help="write TUM trajectory here")
-    p.add_argument("--save-session", default=None, help="session prefix to save")
-    p.add_argument("--no-loop", action="store_true", help="odometry only")
+    # Shared options accepted both before and after the subcommand. They
+    # default to SUPPRESS so the subparser pass never clobbers a value the
+    # main parser already read (argparse `parents=` shares action objects,
+    # so a set_defaults on any parser would rewrite all of them — real
+    # defaults are therefore filled in after parse_args instead).
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--config", default=argparse.SUPPRESS,
+                        help="YAML profile (reference format ok)")
+    common.add_argument("--out", default=argparse.SUPPRESS,
+                        help="write TUM trajectory here")
+    common.add_argument("--save-session", default=argparse.SUPPRESS,
+                        help="session prefix to save")
+    common.add_argument("--no-loop", action="store_true",
+                        default=argparse.SUPPRESS, help="odometry only")
+
+    p = argparse.ArgumentParser(prog="fast_limo_tpu", parents=[common])
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    ps = sub.add_parser("synthetic", help="run the synthetic benchmark world")
+    ps = sub.add_parser("synthetic", parents=[common],
+                        help="run the synthetic benchmark world")
     ps.add_argument("--scans", type=int, default=50)
     ps.add_argument("--seed", type=int, default=0)
     ps.set_defaults(fn=cmd_synthetic)
 
-    pk = sub.add_parser("kitti", help="run a KITTI raw-sync drive")
+    pk = sub.add_parser("kitti", parents=[common],
+                        help="run a KITTI raw-sync drive")
     pk.add_argument("--drive", required=True)
     pk.add_argument("--scans", type=int, default=None)
     pk.set_defaults(fn=cmd_kitti)
 
     args = p.parse_args(argv)
+    for dest, dflt in (("config", None), ("out", None),
+                       ("save_session", None), ("no_loop", False)):
+        if not hasattr(args, dest):
+            setattr(args, dest, dflt)
     return args.fn(args)
 
 

@@ -21,7 +21,11 @@ def umeyama_align(est: np.ndarray, gt: np.ndarray):
 
 def ate_rmse(est: np.ndarray, gt: np.ndarray, align: bool = True) -> float:
     """Absolute trajectory error (RMSE of aligned positions)."""
-    if align:
+    est = np.atleast_2d(np.asarray(est, dtype=np.float64))
+    gt = np.atleast_2d(np.asarray(gt, dtype=np.float64))
+    if est.size == 0 or gt.size == 0:
+        return float("nan")
+    if align and len(est) >= 3:
         R, t = umeyama_align(est, gt)
         est = est @ R.T + t
     return float(np.sqrt(np.mean(np.sum((est - gt) ** 2, axis=1))))

@@ -86,3 +86,57 @@ class TestEndToEnd:
         P = np.asarray(loc.state.P)
         assert np.all(np.isfinite(P))
         assert np.all(np.linalg.eigvalsh((P + P.T) / 2) > -1e-6)
+
+
+class TestCalibration:
+    def test_gravity_align_and_bias_calibration(self):
+        """Standstill calibration (Localizer.cpp:411-509): the robot sits
+        still for imu_calib_time, then starts moving; gravity alignment and
+        bias averaging must initialize the filter so tracking works."""
+        import numpy as np
+        from fast_limo_tpu.models.localizer import Localizer
+        from fast_limo_tpu.io import synthetic
+
+        cfg = small_cfg()
+        cfg.gravity_align = True
+        cfg.calibrate_accel = True
+        cfg.calibrate_gyro = True
+        cfg.imu_calib_time = 1.0
+        cfg.tpu.imu_batch = 64
+
+        bias_g = np.array([0.002, -0.003, 0.001])
+        bias_a = np.array([0.05, -0.02, 0.03])
+        seq = synthetic.SyntheticSequence(
+            seed=5, n_scans=10, points_per_scan=4096,
+            noise_pt=0.01, noise_gyro=2e-4, noise_acc=2e-3,
+            bias_gyro=tuple(bias_g), bias_acc=tuple(bias_a),
+            traj=synthetic.Trajectory(v_forward=5.0, ramp_tau=0.8))
+
+        loc = Localizer(cfg)
+        # standstill IMU for 1.2 s: gravity + biases + noise only
+        rngl = np.random.default_rng(0)
+        for i in range(120):
+            acc = np.array([0, 0, 9.81]) + bias_a + rngl.normal(0, 2e-3, 3)
+            gyro = bias_g + rngl.normal(0, 2e-4, 3)
+            loc.update_imu(0.01 * (i + 1), acc, gyro)
+        # feed the moving sequence (stamps continue past calibration window)
+        stamps, accs, gyros = seq.imu_stream()
+        scans = [seq.scan(i) for i in range(10)]
+        si = 0
+        for k in range(len(stamps)):
+            loc.update_imu(stamps[k] + 1.3, accs[k], gyros[k])
+            while si < 10 and scans[si][0] <= stamps[k]:
+                st, pts, traw = scans[si]
+                loc.update_pointcloud(pts, traw, st + 1.3)
+                si += 1
+        assert loc.imu_calibrated
+        # calibration recovered the biases (averaged over the standstill)
+        np.testing.assert_allclose(loc.init_bg, bias_g, atol=2e-3)
+        # accel bias identified up to the gravity-magnitude mismatch the
+        # reference also has (grav_vec uses |g|=9.81 along the measured dir)
+        np.testing.assert_allclose(loc.init_ba, bias_a, atol=8e-2)
+
+        est = loc.positions()
+        gt = seq.traj.pos(loc.stamps() - 1.3)
+        err = np.linalg.norm(est - gt, axis=1)
+        assert err[-1] < 0.5, f"errors {err.round(3)}"
