@@ -41,6 +41,11 @@ _NEIGHBOR_OFFSETS = jnp.array(
     dtype=jnp.int32,
 )  # (27, 3)
 
+_CORNER_COMBOS = jnp.array(
+    [[dx, dy, dz] for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
+    dtype=jnp.int32,
+)  # (8, 3)
+
 
 class VoxelHashMap(NamedTuple):
     meta: jnp.ndarray        # (C, 4) int32: voxel coords + count (0 = free)
@@ -115,8 +120,15 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 8,
     else:
         h = _hash(vc, capacity)
 
-    # ---- group same-voxel points: lexsort by coords and rank within voxel ----
-    order = jnp.lexsort((vc[:, 2], vc[:, 1], vc[:, 0], (~valid).astype(jnp.int32)))
+    # ---- group same-voxel points: sort by voxel and rank within voxel ----
+    # 2-pass lexsort on (packed xy, z) instead of 4 keys: x,y are packed into
+    # 30 bits (grouping-only — collisions need Δ=2^15 voxels ≈ 26 km inside
+    # ONE scan batch, impossible), invalid points get a reserved max key so
+    # they sort last and can never interleave a real voxel's run. Group
+    # membership is still verified on the exact coords below (same_prev).
+    packed_xy = ((vc[:, 0] & 0x7FFF) << 15) | (vc[:, 1] & 0x7FFF)
+    key_hi = jnp.where(valid, packed_xy, jnp.int32(0x7FFFFFFF))
+    order = jnp.lexsort((vc[:, 2], key_hi))
     vc_s = vc[order]
     valid_s = valid[order]
     same_prev = jnp.concatenate(
@@ -184,21 +196,41 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 8,
 # kNN
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("voxel_size", "probes", "num_shards"))
+@functools.partial(jax.jit, static_argnames=("voxel_size", "probes",
+                                             "num_shards", "neighborhood"))
 def gather_neighborhood(m: VoxelHashMap, queries, *, voxel_size: float,
-                        probes: int = 8, num_shards: int = 1, shard_index=0):
-    """Resolve the 27-voxel neighborhood of each query and gather buckets.
+                        probes: int = 8, num_shards: int = 1, shard_index=0,
+                        neighborhood: int = 27):
+    """Resolve each query's voxel neighborhood and gather the buckets.
 
-    Depends only on each query's VOXEL, so it can be computed once per scan
-    and reused across update iterations (pose shifts are millimetric).
-    Returns (cand_pts (N,27,B,3), cand_valid (N,27,B)).
+    ``neighborhood`` selects the candidate set (V voxels per query):
+    * 27 — the full 3³ cube: every point within one voxel edge of the
+      query's voxel is a candidate (guaranteed coverage radius = voxel_size).
+    * 8 — nearest-corner 2³ (the iVox/Faster-LIO trick): the query's voxel
+      plus the 7 voxels touching its nearest corner. Guarantees every point
+      within voxel_size/2 of the query is found; 3.4× less gather traffic
+      (the dominant cost of the scan step). With the default 0.8 m voxels
+      the k-th match distance is well under the 0.4 m guarantee in mapped
+      regions, so matching is unchanged in practice (validated by ATE).
+
+    Depends only on each query's VOXEL (the sub-voxel offset only picks the
+    corner), so it can be computed once per scan and reused across update
+    iterations (pose shifts are millimetric).
+    Returns (cand_pts (N,V,B,3), cand_valid (N,V,B)).
     """
+    assert neighborhood in (8, 27)
     capacity = m.capacity
     bucket = m.bucket
     N = queries.shape[0]
 
     qc = voxel_coords(queries, voxel_size)                     # (N,3)
-    nc = qc[:, None, :] + _NEIGHBOR_OFFSETS[None, :, :]        # (N,27,3)
+    if neighborhood == 27:
+        nc = qc[:, None, :] + _NEIGHBOR_OFFSETS[None, :, :]    # (N,27,3)
+    else:
+        # offset 0 or ±1 per axis, toward the query's nearest corner
+        frac = queries / voxel_size - qc.astype(queries.dtype)   # [0,1)
+        step = jnp.where(frac >= 0.5, 1, -1).astype(jnp.int32)   # (N,3)
+        nc = qc[:, None, :] + _CORNER_COMBOS[None, :, :] * step[:, None, :]
     if num_shards > 1:
         owned, h = _shard_split(_hash(nc, capacity * num_shards),
                                 capacity, num_shards, shard_index)
@@ -219,9 +251,10 @@ def gather_neighborhood(m: VoxelHashMap, queries, *, voxel_size: float,
         done = done | match | ~occupied  # empty slot terminates the chain
         return found_slot, done
 
+    V = nc.shape[1]
     found_slot, _ = jax.lax.fori_loop(
         0, probes, probe_body,
-        (jnp.full((N, 27), capacity, jnp.int32), jnp.zeros((N, 27), bool)),
+        (jnp.full((N, V), capacity, jnp.int32), jnp.zeros((N, V), bool)),
     )
 
     hit = found_slot < capacity
@@ -276,10 +309,11 @@ def evict_far(m: VoxelHashMap, center, radius: float, *, voxel_size: float) -> V
 
 
 def knn(m: VoxelHashMap, queries, *, voxel_size: float, k: int, probes: int = 8,
-        num_shards: int = 1, shard_index=0
+        num_shards: int = 1, shard_index=0, neighborhood: int = 27
         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Bounded kNN over the 27-voxel neighborhood (gather + top-k)."""
+    """Bounded kNN over the voxel neighborhood (gather + top-k)."""
     cand_pts, cand_valid = gather_neighborhood(
         m, queries, voxel_size=voxel_size, probes=probes,
-        num_shards=num_shards, shard_index=shard_index)
+        num_shards=num_shards, shard_index=shard_index,
+        neighborhood=neighborhood)
     return topk_from_candidates(cand_pts, cand_valid, queries, k=k)

@@ -30,7 +30,8 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
                  max_num_matches: int, estimate_extrinsics: bool,
                  shard_axis: str = None, num_shards: int = 1,
                  query_axis: str = None, num_query_shards: int = 1,
-                 knn_refresh: str = "always", x0: st.NavState = None):
+                 knn_refresh: str = "always", x0: st.NavState = None,
+                 neighborhood: int = 27):
     """Build the measurement closures over baselink-frame points pc.
 
     Returns ``(h_rows, h_stats)`` where ``h_rows(x) -> (H (Nq,12), h (Nq,))``
@@ -68,13 +69,15 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
     def _gather(glob):
         if shard_axis is None:
             return mp.gather_neighborhood(
-                m, glob, voxel_size=voxel_size, probes=probes)
+                m, glob, voxel_size=voxel_size, probes=probes,
+                neighborhood=neighborhood)
         import jax
 
         idx = jax.lax.axis_index(shard_axis)
         return mp.gather_neighborhood(
             m, glob, voxel_size=voxel_size, probes=probes,
-            num_shards=num_shards, shard_index=idx)
+            num_shards=num_shards, shard_index=idx,
+            neighborhood=neighborhood)
 
     def _topk(cand_pts, cand_valid, glob):
         nbrs, sq, vld = mp.topk_from_candidates(cand_pts, cand_valid, glob, k=k)

@@ -202,7 +202,8 @@ def build_scan_step(cfg: Config, *, donate: bool = True, jit: bool = True,
             estimate_extrinsics=cfg.ikfom.estimate_extrinsics,
             shard_axis=shard_axis, num_shards=num_shards,
             query_axis=query_axis, num_query_shards=num_query_shards,
-            knn_refresh=cfg.tpu.knn_refresh, x0=x_t2)
+            knn_refresh=cfg.tpu.knn_refresh, x0=x_t2,
+            neighborhood=cfg.tpu.knn_neighborhood)
         x_u, P_u, n_iters = iekf.update_iterated(
             x_t2, P_t2, h_stats,
             R=cfg.ikfom.lidar_noise, D=cfg.ikfom.degeneracy_thresh,

@@ -108,6 +108,9 @@ class TPUConfig:
                                           # must be ≤ hash_probes so lookups
                                           # always cover the chains inserts create
     knn_refresh: str = "always"           # "always" (reference parity) | "first"
+    knn_neighborhood: int = 27            # 27 (full 3³ cube, coverage radius =
+                                          # voxel) | 8 (nearest-corner 2³,
+                                          # coverage voxel/2, 3.4× less gather)
     deskew_frames: int = 128              # max propagated states per scan window
     imu_batch: int = 64                   # max IMU samples integrated per scan step
     dtype: str = "float32"

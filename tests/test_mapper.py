@@ -112,3 +112,47 @@ class TestKNN:
         qs = jnp.zeros((4, 3))
         _, sq, valid = mapper.knn(m, qs, voxel_size=VOX, k=5)
         assert not bool(jnp.any(valid))
+
+
+class TestCornerNeighborhood:
+    """neighborhood=8 (nearest-corner 2^3): guaranteed coverage radius is
+    voxel_size/2 instead of voxel_size, at 3.4x less gather traffic."""
+
+    def test_knn8_matches_brute_force_within_half_voxel(self, rng):
+        m = make_map(bucket=8, cap=8192)
+        pts = rng.uniform(-8, 8, (3000, 3)).astype(np.float32)
+        m = mapper.insert(m, jnp.asarray(pts), jnp.ones(3000, bool), voxel_size=VOX)
+        mask = np.asarray(m.counts) > 0
+        cnts = np.asarray(m.counts)
+        P = np.asarray(m.points)
+        stored = np.concatenate([P[s, :cnts[s]] for s in np.nonzero(mask)[0]])
+
+        qs = rng.uniform(-6, 6, (80, 3)).astype(np.float32)
+        _, sq, _ = mapper.knn(m, jnp.asarray(qs), voxel_size=VOX, k=5,
+                              neighborhood=8)
+        sq = np.asarray(sq)
+        r2 = (VOX / 2) ** 2
+        for i, q in enumerate(qs):
+            d2 = np.sort(np.sum((stored - q) ** 2, axis=1))[:5]
+            wm = d2[d2 < r2]
+            gm = sq[i][sq[i] < r2]
+            np.testing.assert_allclose(gm[: len(wm)], wm[: len(gm)], rtol=1e-5)
+
+    def test_knn8_subset_of_knn27(self, rng):
+        """Every candidate the 2^3 neighborhood returns is one the 3^3 cube
+        would return: the corner voxels are a subset of the full cube."""
+        m = make_map(bucket=8, cap=8192)
+        pts = rng.uniform(-4, 4, (2000, 3)).astype(np.float32)
+        m = mapper.insert(m, jnp.asarray(pts), jnp.ones(2000, bool), voxel_size=VOX)
+        qs = rng.uniform(-3, 3, (40, 3)).astype(np.float32)
+        _, sq8, v8 = mapper.knn(m, jnp.asarray(qs), voxel_size=VOX, k=5,
+                                neighborhood=8)
+        c27, cv27 = mapper.gather_neighborhood(
+            m, jnp.asarray(qs), voxel_size=VOX, probes=8, neighborhood=27)
+        d27 = np.where(np.asarray(cv27).reshape(40, -1),
+                       np.sum((np.asarray(c27).reshape(40, -1, 3)
+                               - qs[:, None]) ** 2, axis=-1), np.inf)
+        for i in range(len(qs)):
+            pool = np.sort(d27[i])
+            for d in np.asarray(sq8[i])[np.asarray(v8[i])]:
+                assert np.any(np.isclose(pool, d, rtol=1e-5)), (i, d)
