@@ -62,6 +62,13 @@ def predict(x: st.NavState, P, acc, gyro, dt, Q):
     acc/gyro are bias-*uncorrected* baselink-frame IMU measurements (the
     state's bg/ba handle biases); dt is the IMU sample period.
     """
+    x_new, F, GQG = _predict_mats(x, acc, gyro, dt, Q)
+    P_new = F @ P @ F.T + GQG
+    return x_new, P_new
+
+
+def _predict_mats(x: st.NavState, acc, gyro, dt, Q):
+    """(x_new, F (23,23), Gw·Q·Gwᵀ (23,23)) of one prediction step."""
     dtype = x.dtype
     f_ = process.f(x, acc, gyro)          # (24,)
     fx = process.df_dx(x, acc, gyro)      # (24, 23)
@@ -96,28 +103,63 @@ def predict(x: st.NavState, P, acc, gyro, dt, Q):
 
     F = F_x1 + f_x_final * dt
     Gw = dt * f_w_final
-    P_new = F @ P @ F.T + Gw @ Q @ Gw.T
-    return x_new, P_new
+    return x_new, F, Gw @ Q @ Gw.T
 
 
 def predict_scan(x: st.NavState, P, imu_stack, Q):
-    """Scan over a padded batch of IMU samples with a validity mask.
+    """Batched prediction over a padded IMU window with a validity mask.
 
     imu_stack: dict-like pytree with ``acc (K,3)``, ``gyro (K,3)``,
     ``dt (K,)``, ``valid (K,) bool``.  Invalid samples pass through.
     Returns final (x, P) plus the stacked propagated states (for deskew),
     mirroring the propagated_buffer the reference fills per IMU tick
     (Localizer.cpp:600-605).
+
+    TPU-native structure — the K-step chain is NOT run as K sequential
+    covariance updates:
+    1. a cheap sequential scan propagates only the mean (oplus of f·dt),
+    2. all K Jacobians (F_k, G_k Q G_kᵀ) are computed in one vmap batch
+       from the propagated means,
+    3. the covariance map P ↦ F P Fᵀ + GQG is affine, so the K maps fold
+       into one in log₂K levels of batched 23×23 compositions:
+       (A₂,B₂)∘(A₁,B₁) = (A₂A₁, A₂B₁A₂ᵀ + B₂), then P_f = A P Aᵀ + B.
+    Algebraically identical to the sequential chain (f32 rounding differs
+    only in association order).
     """
+    dtype = x.dtype
+    valid = imu_stack["valid"]
 
-    def step(carry, u):
-        x, P = carry
-        xn, Pn = predict(x, P, u["acc"], u["gyro"], u["dt"], Q)
-        xn = jax.tree_util.tree_map(lambda a, b: jnp.where(u["valid"], a, b), xn, x)
-        Pn = jnp.where(u["valid"], Pn, P)
-        return (xn, Pn), xn
+    def xstep(xc, u):
+        f_ = process.f(xc, u["acc"], u["gyro"])
+        xn = st.oplus_flat(xc, f_, u["dt"])
+        xn = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(u["valid"], a, b), xn, xc)
+        return xn, xn
 
-    (x_f, P_f), xs = jax.lax.scan(step, (x, P), imu_stack)
+    x_f, xs = jax.lax.scan(xstep, x, imu_stack)
+
+    # each step's Jacobians are functions of its PREVIOUS state
+    x_prev = jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a[None], b[:-1]], axis=0), x, xs)
+    _, F_k, GQG_k = jax.vmap(
+        lambda xp, a, g, dt: _predict_mats(xp, a, g, dt, Q))(
+        x_prev, imu_stack["acc"], imu_stack["gyro"], imu_stack["dt"])
+
+    eye = jnp.eye(N, dtype=dtype)
+    F_k = jnp.where(valid[:, None, None], F_k, eye)
+    GQG_k = jnp.where(valid[:, None, None], GQG_k, jnp.zeros_like(GQG_k))
+
+    # tree-fold the affine maps (time order: index 0 first)
+    A, B = F_k, GQG_k
+    while A.shape[0] > 1:
+        if A.shape[0] % 2:
+            A = jnp.concatenate([A, eye[None]], axis=0)
+            B = jnp.concatenate([B, jnp.zeros((1, N, N), dtype)], axis=0)
+        A1, B1 = A[0::2], B[0::2]     # earlier
+        A2, B2 = A[1::2], B[1::2]     # later
+        A = jnp.einsum("kij,kjl->kil", A2, A1)
+        B = jnp.einsum("kij,kjl,kml->kim", A2, B1, A2) + B2
+    P_f = A[0] @ P @ A[0].T + B[0]
     return x_f, P_f, xs
 
 

@@ -222,3 +222,38 @@ class TestUpdateIterated:
                                          R=1e-3, D=5.0, max_iters=3, limit=1e-3)
         for k in d:
             np.testing.assert_allclose(np.asarray(getattr(xj, k)), d[k], atol=1e-9)
+
+
+class TestPredictScan:
+    def test_predict_scan_matches_sequential_chain(self, rng):
+        """predict_scan's batched tree-fold must equal K sequential predicts
+        (it reassociates the same affine covariance maps)."""
+        d = rand_state(rng)
+        P = rand_P(rng)
+        Q = np.eye(12) * 1e-3
+        K = 11  # odd: exercises the identity padding
+        acc = rng.normal(size=(K, 3)) * 9
+        gyro = rng.normal(size=(K, 3))
+        dt = np.full(K, 0.005)
+        valid = np.ones(K, bool)
+        valid[7] = False  # padded sample passes through
+
+        xj, Pj = to_nav(d), jnp.asarray(P)
+        for i in range(K):
+            if not valid[i]:
+                continue
+            xj, Pj = iekf.predict(xj, Pj, jnp.asarray(acc[i]),
+                                  jnp.asarray(gyro[i]), dt[i], jnp.asarray(Q))
+
+        imu = {"acc": jnp.asarray(acc), "gyro": jnp.asarray(gyro),
+               "dt": jnp.asarray(dt), "valid": jnp.asarray(valid)}
+        xs_f, Ps_f, xs = iekf.predict_scan(to_nav(d), jnp.asarray(P), imu,
+                                           jnp.asarray(Q))
+        for k in d:
+            np.testing.assert_allclose(np.asarray(getattr(xs_f, k)),
+                                       np.asarray(getattr(xj, k)),
+                                       atol=1e-9, err_msg=k)
+        np.testing.assert_allclose(np.asarray(Ps_f), np.asarray(Pj), atol=1e-8)
+        # stacked states: entry i is the post-state of step i
+        np.testing.assert_allclose(np.asarray(xs.pos[-1]),
+                                   np.asarray(xs_f.pos), atol=1e-12)

@@ -153,6 +153,62 @@ def main():
         return carry + P2 * 1e-12
     tm("predict_scan(32 imu)", pr_body, jnp.zeros((23, 23), dtype))
 
+    # preprocess (filters + time sort over the full padded scan)
+    from fast_limo_tpu.models import deskew as dsk
+    from fast_limo_tpu.models import preprocess
+    from fast_limo_tpu.models import scancontext as sc
+
+    Np = cfg.tpu.max_points_per_scan
+    traw = jnp.asarray(np.linspace(0, 0.1, Np), dtype)
+
+    def pp_body(carry):
+        pts, t_abs, pv, se = preprocess.preprocess_scan(
+            carry, traw, jnp.ones(Np, bool), jnp.asarray(0.0, jnp.float32),
+            jnp.asarray(0.1, jnp.float32),
+            sensor_type=cfg.sensor_type, end_of_sweep=cfg.end_of_sweep,
+            crop_active=cfg.filters.crop_active,
+            crop_min=cfg.filters.cropBoxMin, crop_max=cfg.filters.cropBoxMax,
+            dist_active=cfg.filters.dist_active, min_dist=cfg.filters.min_dist,
+            rate_active=cfg.filters.rate_active,
+            rate_value=cfg.filters.rate_value,
+            fov_active=cfg.filters.fov_active, fov_angle=cfg.filters.fov_angle,
+            time_offset=cfg.time_offset)
+        return carry + jnp.mean(pts) * 1e-12
+    tm("preprocess_scan(32k)", pp_body, big)
+
+    # deskew over the full padded scan
+    x2, P2, xs = iekf.predict_scan(s.x, s.P, imu, Q)
+    frames = dsk.frames_from_scan(
+        s.x, jnp.asarray(0.0, jnp.float32), jnp.zeros(3, dtype),
+        jnp.zeros(3, dtype), xs, imu)
+    tpts = jnp.asarray(np.linspace(0, 0.1, Np), jnp.float32)
+
+    def dk_body(carry):
+        p_xt2, p_w = dsk.deskew(carry, tpts, jnp.ones(Np, bool), frames,
+                                x2, x2.rot_LI, x2.t_LI)
+        return carry + jnp.mean(p_xt2) * 1e-12
+    tm("deskew(32k)", dk_body, big)
+
+    # one update-iteration worth of H work (point_to_plane + rows + HtH)
+    from fast_limo_tpu.models import measurement
+    _h_rows, h_stats = measurement.make_h_model(
+        m, q0, qvalid, voxel_size=vs, k=k, probes=probes,
+        max_dist_plane=cfg.ikfom.mapping.MAX_DIST_PLANE,
+        plane_threshold=cfg.ikfom.mapping.PLANE_THRESHOLD,
+        max_num_matches=cfg.ikfom.mapping.MAX_NUM_MATCHES,
+        estimate_extrinsics=True, knn_refresh="first", x0=s.x,
+        neighborhood=cfg.tpu.knn_neighborhood)
+
+    def it_body(carry):
+        HTH, HTh = h_stats(s.x._replace(pos=s.x.pos + carry[:3, 0] * 1e-12))
+        return carry + HTH[:3, :3].sum() * 1e-12
+    tm("h_stats (1 update iter)", it_body, jnp.zeros((23, 23), dtype))
+
+    def sc_body(carry):
+        d = sc.descriptor(carry[:10000], jnp.ones(10000, bool))
+        return carry + jnp.mean(d) * 1e-12
+    tm("scancontext descriptor", sc_body, big)
+
 
 if __name__ == "__main__":
     main()

@@ -64,11 +64,8 @@ def run_variant(neigh, vox, ppv):
 
 
 if __name__ == "__main__":
-    variants = [
-        (8, 1.0, 5),
-        (8, 1.2, 6),
-        (8, 1.6, 8),
-        (27, 1.2, 6),
-    ]
-    for v in variants:
-        run_variant(*v)
+    if len(sys.argv) == 4:  # single variant: neigh vox ppv
+        run_variant(int(sys.argv[1]), float(sys.argv[2]), int(sys.argv[3]))
+    else:
+        for v in [(8, 1.0, 5), (8, 1.2, 6), (8, 1.6, 8), (27, 1.2, 6)]:
+            run_variant(*v)
