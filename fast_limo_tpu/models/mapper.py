@@ -2,28 +2,41 @@
 incremental octree (`include/fast_limo/Objects/Octree.hpp`).
 
 The octree's pointer-chasing kNN cannot map to TPU; instead the map is a
-fixed-capacity open-addressing hash table of voxel buckets:
+fixed-capacity **bucketized** hash table of voxel entries, laid out so the
+entire lookup is ONE wide-row gather:
 
-* ``meta (C,4) int32`` — [vx, vy, vz, count] per slot, PACKED so that probe
-  rounds cost a single 16-byte row gather instead of four separate ones
-  (gathers are the hot operation on TPU — SURVEY.md hot loop #2)
-* ``points (C,B,3) float32`` — up to B points stored per voxel
+* groups of ``E = 8`` entries share one hash slot ("group");
+* each group is a single fused f32 row of width ``W = 3E + E+pad + 3·E·B``::
 
-Insertion is batched and fully vectorized: per-voxel ranks via a sorted
-segment scan, slot claiming via scatter-min election, bounded linear probing
-(`fori_loop` over a static probe count).  The per-voxel capacity B mirrors
-the octree's leaf-level downsampling rule — a full bucket rejects new points
-(Octree.hpp:399-405) — and the voxel edge defaults to ``2*min_extent`` (the
-finest octree leaf is in ``(min_extent, 2*min_extent]``, Octree.hpp:310,385).
+      [ coords: E×3 (int32 bitcast) | counts: E (+1 pad) | points: E×B×3 ]
 
-kNN = gather the 3³ neighbor voxels of each query, mask, and take the k
-smallest squared distances (Octree.hpp:527-598 contract: ascending sq-dists).
-It is split into `gather_neighborhood` (probe + bucket gather — depends only
-on the query VOXELS) and `topk_from_candidates` (distances + top-k) so the
-iterated update can hoist the expensive gather out of its re-match loop.
+  so resolving a voxel AND fetching its points costs one row gather.
+
+Why: on TPU, gather cost is per *operation* + per *row* and nearly
+independent of row width (measured v5e: ~0.7 ms fixed + ~6 ns/row for
+16 B–512 B rows — `tools/bench_gather2.py`).  The previous design (linear
+probing, separate meta/points tables) issued 4 probe-round meta gathers plus
+a points gather per kNN batch; the fused-group layout issues exactly one,
+cutting the dominant scan-step stage ~3.5×.  Collision handling moves from
+probe chains to the E-way group: a voxel lives in exactly one group, and a
+group overflowing E distinct voxels simply rejects newcomers (analogous to
+the octree's bounded leaves, Octree.hpp:399-405; with default sizing the
+overflow probability per voxel is <1e-4).
+
+The per-entry capacity B mirrors the octree's leaf-level downsampling rule —
+a full bucket rejects new points (Octree.hpp:399-405) — and the voxel edge
+defaults to ``2*min_extent`` (the finest octree leaf is in
+``(min_extent, 2*min_extent]``, Octree.hpp:310,385).
+
+kNN = gather the neighbor voxels of each query, mask, and take the k
+smallest squared distances (Octree.hpp:527-598 contract: ascending
+sq-dists).  It is split into `gather_neighborhood` (group gather + entry
+match — depends only on the query VOXELS) and `topk_from_candidates`
+(distances + top-k) so the iterated update can hoist the expensive gather
+out of its re-match loop.
 
 Sharded mode (num_shards > 1): a voxel's owner device is the high bits of
-its global hash; probe chains stay entirely device-local.
+its global group hash; groups are device-local by construction.
 """
 
 from __future__ import annotations
@@ -34,7 +47,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-_INT_MAX = jnp.iinfo(jnp.int32).max
+E = 8  # entries per hash group (module constant; lookup is E-way associative)
 
 _NEIGHBOR_OFFSETS = jnp.array(
     [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
@@ -46,150 +59,217 @@ _CORNER_COMBOS = jnp.array(
     dtype=jnp.int32,
 )  # (8, 3)
 
+_CNT0 = 3 * E            # first column of the counts block
+_CNTW = E + (3 - E % 3) % 3  # counts block width padded to a 3 multiple
+_PTS0 = _CNT0 + _CNTW    # first column of the points block (3-aligned)
+_PTROW0 = _PTS0 // 3     # first 3-row of the points block
+
+
+def _row_width(bucket: int) -> int:
+    return _PTS0 + 3 * E * bucket
+
 
 class VoxelHashMap(NamedTuple):
-    meta: jnp.ndarray        # (C, 4) int32: voxel coords + count (0 = free)
-    points: jnp.ndarray      # (C, B, 3) float32
+    table: jnp.ndarray       # (G, W) float32 fused rows (see module docstring)
     num_points: jnp.ndarray  # () int32  (Mapper::size, Mapper.cpp:51-53)
     last_time: jnp.ndarray   # () float32 (Mapper::last_time)
 
     @property
-    def coords(self):
-        return self.meta[:, 0:3]
-
-    @property
-    def counts(self):
-        return self.meta[:, 3]
-
-    @property
-    def capacity(self):
-        return self.meta.shape[0]
+    def groups(self):
+        return self.table.shape[0]
 
     @property
     def bucket(self):
-        return self.points.shape[1]
+        return (self.table.shape[1] - _PTS0) // (3 * E)
+
+    @property
+    def capacity(self):
+        """Total entry count (the public 'slots' knob = G·E)."""
+        return self.groups * E
+
+    @property
+    def coords(self):
+        """(G·E, 3) int32 voxel coords per entry (garbage where count==0)."""
+        c = jax.lax.bitcast_convert_type(self.table[:, :_CNT0], jnp.int32)
+        return c.reshape(self.groups * E, 3)
+
+    @property
+    def counts(self):
+        """(G·E,) int32 stored-point count per entry (0 = free)."""
+        return self.table[:, _CNT0:_CNT0 + E].reshape(-1).astype(jnp.int32)
+
+    @property
+    def points(self):
+        """(G·E, B, 3) stored points per entry."""
+        return self.table[:, _PTS0:].reshape(self.groups * E, self.bucket, 3)
+
+    @property
+    def meta(self):
+        """(G·E, 4) int32 [vx, vy, vz, count] compatibility view."""
+        return jnp.concatenate([self.coords, self.counts[:, None]], axis=1)
 
 
 def create(capacity: int, bucket: int, dtype=jnp.float32) -> VoxelHashMap:
     assert capacity & (capacity - 1) == 0, "capacity must be a power of two"
+    assert capacity >= E
+    del dtype  # fused table is always f32 (coords are bitcast int32)
     return VoxelHashMap(
-        meta=jnp.zeros((capacity, 4), jnp.int32),
-        points=jnp.zeros((capacity, bucket, 3), dtype),
+        table=jnp.zeros((capacity // E, _row_width(bucket)), jnp.float32),
         num_points=jnp.asarray(0, jnp.int32),
         last_time=jnp.asarray(-1.0, jnp.float32),
     )
 
 
-def _hash(coords, capacity: int):
-    """Spatial hash of integer voxel coords → slot in [0, capacity)."""
+def _hash(coords, groups: int):
+    """Spatial hash of integer voxel coords → group in [0, groups)."""
     h = (
         coords[..., 0] * jnp.int32(73856093)
         ^ coords[..., 1] * jnp.int32(19349669)
         ^ coords[..., 2] * jnp.int32(83492791)
     )
-    return (h & jnp.int32(capacity - 1)).astype(jnp.int32)
+    return (h & jnp.int32(groups - 1)).astype(jnp.int32)
 
 
 def voxel_coords(pts, voxel_size: float):
     return jnp.floor(pts / voxel_size).astype(jnp.int32)
 
 
-def _shard_split(h_full, capacity, num_shards, shard_index):
-    owner = h_full // jnp.int32(capacity)
-    local = (h_full % jnp.int32(capacity)).astype(jnp.int32)
+def _shard_split(h_full, groups, num_shards, shard_index):
+    owner = h_full // jnp.int32(groups)
+    local = (h_full % jnp.int32(groups)).astype(jnp.int32)
     return owner == shard_index, local
+
+
+def _group_meta(m: VoxelHashMap, g, nc):
+    """Gather group meta and resolve ``nc`` against the E entries.
+
+    g (...,) group ids, nc (...,3) voxel coords →
+    (match (...,E) bool, counts (...,E) f32) from ONE row gather.
+
+    Gathers FULL rows and slices in-register: a `table[g, :_PTS0]`
+    mixed-index gather lowers to a pathological per-element path (~10×
+    slower, measured on v5e — tools/bench_insert.py).
+    """
+    meta = m.table[g][..., :_PTS0]                           # (...,_PTS0)
+    coords = jax.lax.bitcast_convert_type(
+        meta[..., :_CNT0], jnp.int32).reshape(*g.shape, E, 3)
+    counts = meta[..., _CNT0:_CNT0 + E]                      # (...,E) f32
+    match = (counts > 0) & jnp.all(coords == nc[..., None, :], axis=-1)
+    return match, counts
 
 
 # ---------------------------------------------------------------------------
 # insert
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("voxel_size", "probes", "num_shards"))
-def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 8,
-           num_shards: int = 1, shard_index=0) -> VoxelHashMap:
-    """Insert a masked batch of world-frame points (Mapper::add / Octree::update)."""
-    capacity = m.capacity
-    bucket = m.bucket
-    N = pts.shape[0]
+def _seg_sum(flags, reset):
+    """Inclusive segmented sum of ``flags`` with restart where ``reset``."""
+    def combine(a, b):
+        va, ra = a
+        vb, rb = b
+        return jnp.where(rb, vb, va + vb), ra | rb
+    out, _ = jax.lax.associative_scan(
+        combine, (flags.astype(jnp.int32), reset))
+    return out
 
+
+@functools.partial(jax.jit, static_argnames=("voxel_size", "probes", "num_shards"))
+def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 0,
+           num_shards: int = 1, shard_index=0) -> VoxelHashMap:
+    """Insert a masked batch of world-frame points (Mapper::add / Octree::update).
+
+    One meta gather + three scatters: points of the same voxel are grouped by
+    a sort, matched against their hash group's E entries, and new voxels are
+    assigned distinct free entries by rank election.  A group whose E entries
+    are all taken rejects further voxels (see module docstring); a full entry
+    rejects further points (octree leaf downsampling, Octree.hpp:399-405).
+
+    ``probes`` is accepted for API compatibility and ignored (the fused
+    layout has no probe chains).
+    """
+    del probes
+    G = m.groups
+    B = m.bucket
+    W = m.table.shape[1]
+    N = pts.shape[0]
+    idxs = jnp.arange(N)
+
+    pts = pts.astype(jnp.float32)
     vc = voxel_coords(pts, voxel_size)                       # (N,3)
     if num_shards > 1:
-        owned, h = _shard_split(_hash(vc, capacity * num_shards),
-                                capacity, num_shards, shard_index)
+        owned, g = _shard_split(_hash(vc, G * num_shards),
+                                G, num_shards, shard_index)
         valid = valid & owned
     else:
-        h = _hash(vc, capacity)
+        g = _hash(vc, G)
 
-    # ---- group same-voxel points: sort by voxel and rank within voxel ----
-    # 2-pass lexsort on (packed xy, z) instead of 4 keys: x,y are packed into
-    # 30 bits (grouping-only — collisions need Δ=2^15 voxels ≈ 26 km inside
-    # ONE scan batch, impossible), invalid points get a reserved max key so
-    # they sort last and can never interleave a real voxel's run. Group
-    # membership is still verified on the exact coords below (same_prev).
+    # ---- resolve each point's voxel against its group (pre-insert state) ----
+    match_e, counts_e = _group_meta(m, g, vc)                # (N,E)
+    has_match = jnp.any(match_e, axis=-1)
+    entry_m = jnp.argmax(match_e, axis=-1).astype(jnp.int32)
+    base_m = jnp.sum(jnp.where(match_e, counts_e, 0.0), axis=-1).astype(jnp.int32)
+    free_e = counts_e == 0                                   # (N,E)
+
+    # ---- group-major sort: points of one voxel contiguous, voxels of one
+    # hash group contiguous (invalids last) ----
+    key_g = jnp.where(valid, g, jnp.int32(0x7FFFFFFF))
     packed_xy = ((vc[:, 0] & 0x7FFF) << 15) | (vc[:, 1] & 0x7FFF)
-    key_hi = jnp.where(valid, packed_xy, jnp.int32(0x7FFFFFFF))
-    order = jnp.lexsort((vc[:, 2], key_hi))
+    order = jnp.lexsort((vc[:, 2], packed_xy, key_g))
     vc_s = vc[order]
     valid_s = valid[order]
-    same_prev = jnp.concatenate(
-        [jnp.array([False]), jnp.all(vc_s[1:] == vc_s[:-1], axis=-1) & valid_s[1:] & valid_s[:-1]]
-    )
-    idxs = jnp.arange(N)
-    seg_start = jnp.where(~same_prev, idxs, 0)
-    seg_start = jax.lax.associative_scan(jnp.maximum, seg_start)
-    rank_s = idxs - seg_start                                # 0,1,2,… within voxel
-    rank = jnp.zeros(N, jnp.int32).at[order].set(rank_s.astype(jnp.int32))
+    g_s = key_g[order]
 
-    pending = valid & (rank < bucket)
+    # rank of each point within its voxel run (0,1,2,…)
+    same_voxel = jnp.concatenate(
+        [jnp.array([False]),
+         jnp.all(vc_s[1:] == vc_s[:-1], axis=-1) & valid_s[1:] & valid_s[:-1]])
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(~same_voxel, idxs, 0))
+    rank_s = (idxs - seg_start).astype(jnp.int32)
 
-    # unpack meta for the probe loop: column scatters into the packed (C,4)
-    # layout lower to a slow XLA scatter path; separate (C,3)/(C,) arrays
-    # scatter at full speed and are repacked once at the end.
-    coords_a0 = m.meta[:, 0:3]
-    counts_a0 = m.meta[:, 3]
+    # rank of each NEW voxel among the new voxels of its group: segmented
+    # count of voxel-run starts that found no existing entry.
+    new_group = jnp.concatenate([jnp.array([True]), g_s[1:] != g_s[:-1]])
+    is_new_start = valid_s & ~same_voxel & ~has_match[order]
+    r_new_s = _seg_sum(is_new_start, new_group) - 1          # valid where new
 
-    def probe_body(p, carry):
-        coords_a, counts_a, points_a, total, pending = carry
-        slot = ((h + p) & (capacity - 1)).astype(jnp.int32)
+    rank = jnp.zeros(N, jnp.int32).at[order].set(rank_s)
+    r_new = jnp.zeros(N, jnp.int32).at[order].set(r_new_s)
 
-        slot_count = counts_a[slot]
-        occupied = slot_count > 0
-        empty = ~occupied
+    # ---- free-entry election: new voxel with group-rank r takes the
+    # (r+1)-th free entry of its group ----
+    freecum = jnp.cumsum(free_e.astype(jnp.int32), axis=-1)  # (N,E)
+    want = free_e & (freecum == (r_new + 1)[:, None])
+    assigned = jnp.any(want, axis=-1)
+    entry_n = jnp.argmax(want, axis=-1).astype(jnp.int32)
 
-        # elect one claimant point per empty slot (scatter-min of point index)
-        want_claim = pending & empty
-        claim_tbl = jnp.full((capacity,), _INT_MAX, jnp.int32)
-        claim_tbl = claim_tbl.at[jnp.where(want_claim, slot, capacity - 1)].min(
-            jnp.where(want_claim, idxs.astype(jnp.int32), _INT_MAX), mode="drop")
-        winner = want_claim & (claim_tbl[slot] == idxs)
-        # publish winners' coords (count still 0 until placement below)
-        coords_a = coords_a.at[jnp.where(winner, slot, capacity)].set(
-            vc, mode="drop")
+    entry = jnp.where(has_match, entry_m, entry_n)
+    base = jnp.where(has_match, base_m, 0)
+    pos = base + rank
+    place = valid & (pos < B) & (has_match | assigned)
 
-        resident = jnp.all(coords_a[slot] == vc, axis=-1) & (
-            occupied | (claim_tbl[slot] != _INT_MAX))
-        resolves = pending & resident
+    # ---- three scatters into the fused table ----
+    flat3 = m.table.reshape(G * (W // 3), 3)                 # row-of-3 view
+    OOB3 = G * (W // 3)
+    rowbase = g * (W // 3)
 
-        pos = slot_count + rank
-        place = resolves & (pos < bucket)
-        flat = jnp.where(place, slot * bucket + pos, capacity * bucket)
-        points_a = points_a.reshape(capacity * bucket, 3).at[flat].set(
-            pts, mode="drop").reshape(capacity, bucket, 3)
+    # points: one row of 3 per placed point
+    prow = rowbase + _PTROW0 + entry * B + pos
+    flat3 = flat3.at[jnp.where(place, prow, OOB3)].set(pts, mode="drop")
 
-        placed_n = place.astype(jnp.int32)
-        counts_a = counts_a.at[jnp.where(place, slot, capacity)].add(
-            placed_n, mode="drop")
-        total = total + jnp.sum(placed_n, dtype=jnp.int32)
+    # coords of newly claimed entries: written by the voxel's rank-0 point
+    writer = place & ~has_match & (rank == 0)
+    crow = rowbase + entry
+    vc_f = jax.lax.bitcast_convert_type(vc, jnp.float32)
+    flat3 = flat3.at[jnp.where(writer, crow, OOB3)].set(vc_f, mode="drop")
 
-        pending = pending & ~resolves  # resolved (placed or bucket-full drop)
-        return coords_a, counts_a, points_a, total, pending
+    # counts: scalar add per placed point
+    flat1 = flat3.reshape(G * W)
+    coff = g * W + _CNT0 + entry
+    flat1 = flat1.at[jnp.where(place, coff, G * W)].add(1.0, mode="drop")
 
-    coords_a, counts_a, points_a, total, pending = jax.lax.fori_loop(
-        0, probes, probe_body,
-        (coords_a0, counts_a0, m.points, jnp.asarray(0, jnp.int32), pending),
-    )
-    meta_a = jnp.concatenate([coords_a, counts_a[:, None]], axis=1)
-    return VoxelHashMap(meta_a, points_a, m.num_points + total, m.last_time)
+    total = jnp.sum(place.astype(jnp.int32))
+    return VoxelHashMap(flat1.reshape(G, W), m.num_points + total, m.last_time)
 
 
 # ---------------------------------------------------------------------------
@@ -199,7 +279,7 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 8,
 @functools.partial(jax.jit, static_argnames=("voxel_size", "probes",
                                              "num_shards", "neighborhood"))
 def gather_neighborhood(m: VoxelHashMap, queries, *, voxel_size: float,
-                        probes: int = 8, num_shards: int = 1, shard_index=0,
+                        probes: int = 0, num_shards: int = 1, shard_index=0,
                         neighborhood: int = 27):
     """Resolve each query's voxel neighborhood and gather the buckets.
 
@@ -208,19 +288,24 @@ def gather_neighborhood(m: VoxelHashMap, queries, *, voxel_size: float,
       query's voxel is a candidate (guaranteed coverage radius = voxel_size).
     * 8 — nearest-corner 2³ (the iVox/Faster-LIO trick): the query's voxel
       plus the 7 voxels touching its nearest corner. Guarantees every point
-      within voxel_size/2 of the query is found; 3.4× less gather traffic
-      (the dominant cost of the scan step). With the default 0.8 m voxels
-      the k-th match distance is well under the 0.4 m guarantee in mapped
-      regions, so matching is unchanged in practice (validated by ATE).
+      within voxel_size/2 of the query is found; 3.4× less gather traffic.
+      With the default 1.2 m voxels the k-th match distance is well under
+      the 0.6 m guarantee in mapped regions, so matching is unchanged in
+      practice (validated by ATE).
 
-    Depends only on each query's VOXEL (the sub-voxel offset only picks the
-    corner), so it can be computed once per scan and reused across update
-    iterations (pose shifts are millimetric).
+    ONE wide-row gather fetches each neighbor voxel's group (coords, counts,
+    and all E·B points); the matching entry is selected in-register with an
+    E-way one-hot contraction.  Depends only on each query's VOXEL (the
+    sub-voxel offset only picks the corner), so it can be computed once per
+    scan and reused across update iterations (pose shifts are millimetric).
+
+    ``probes`` is accepted for API compatibility and ignored.
     Returns (cand_pts (N,V,B,3), cand_valid (N,V,B)).
     """
+    del probes
     assert neighborhood in (8, 27)
-    capacity = m.capacity
-    bucket = m.bucket
+    G = m.groups
+    B = m.bucket
     N = queries.shape[0]
 
     qc = voxel_coords(queries, voxel_size)                     # (N,3)
@@ -232,39 +317,29 @@ def gather_neighborhood(m: VoxelHashMap, queries, *, voxel_size: float,
         step = jnp.where(frac >= 0.5, 1, -1).astype(jnp.int32)   # (N,3)
         nc = qc[:, None, :] + _CORNER_COMBOS[None, :, :] * step[:, None, :]
     if num_shards > 1:
-        owned, h = _shard_split(_hash(nc, capacity * num_shards),
-                                capacity, num_shards, shard_index)
+        owned, g = _shard_split(_hash(nc, G * num_shards),
+                                G, num_shards, shard_index)
     else:
         owned = None
-        h = _hash(nc, capacity)
-
-    # sequential probe loop: one packed 16-byte row gather per round.
-    # (A single wide (N,27,P,4) gather was measured SLOWER on v5e — 28 ms
-    # vs 18 ms — the huge scattered gather loses to 8 smaller ones.)
-    def probe_body(p, carry):
-        found_slot, done = carry
-        slot = ((h + p) & (capacity - 1)).astype(jnp.int32)
-        meta = m.meta[slot]                                    # (N,27,4)
-        occupied = meta[..., 3] > 0
-        match = occupied & jnp.all(meta[..., 0:3] == nc, axis=-1)
-        found_slot = jnp.where(~done & match, slot, found_slot)
-        done = done | match | ~occupied  # empty slot terminates the chain
-        return found_slot, done
+        g = _hash(nc, G)
 
     V = nc.shape[1]
-    found_slot, _ = jax.lax.fori_loop(
-        0, probes, probe_body,
-        (jnp.full((N, V), capacity, jnp.int32), jnp.zeros((N, V), bool)),
-    )
-
-    hit = found_slot < capacity
+    rows = m.table[g]                                          # (N,V,W) — THE gather
+    coords = jax.lax.bitcast_convert_type(
+        rows[..., :_CNT0], jnp.int32).reshape(N, V, E, 3)
+    counts = rows[..., _CNT0:_CNT0 + E]                        # (N,V,E) f32
+    sel = (counts > 0) & jnp.all(coords == nc[..., None, :], axis=-1)
     if owned is not None:
-        hit = hit & owned
-    slot_safe = jnp.where(hit, found_slot, 0)
-    cand_pts = m.points[slot_safe]                             # (N,27,B,3)
-    cand_n = jnp.where(hit, m.meta[slot_safe, 3], 0)           # (N,27)
+        sel = sel & owned[..., None]
+
+    # one-hot entry selection (≤1 true per (query, voxel)) — contraction over
+    # E stays in-register; no second gather.
+    pts_all = rows[..., _PTS0:].reshape(N, V, E, B * 3)
+    self_f = sel.astype(jnp.float32)
+    cand_pts = jnp.einsum("nve,nvec->nvc", self_f, pts_all).reshape(N, V, B, 3)
+    cand_n = jnp.einsum("nve,nve->nv", self_f, counts)
     cand_valid = (
-        jnp.arange(bucket, dtype=jnp.int32)[None, None, :] < cand_n[..., None]
+        jnp.arange(B, dtype=jnp.float32)[None, None, :] < cand_n[..., None]
     )
     return cand_pts, cand_valid
 
@@ -291,24 +366,26 @@ def evict_far(m: VoxelHashMap, center, radius: float, *, voxel_size: float) -> V
 
     The reference's octree grows without bound (no eviction; UTBM-length
     sequences rely on RAM); a fixed-capacity hash table needs to recycle
-    slots. Clearing a slot re-opens it for insertion; lookups treat empty
-    slots as chain terminators, which is safe because any chain running
-    through a cleared slot belonged to voxels that were ALSO near-ish the
-    old origin — stale unreachable entries get overwritten by later inserts.
-    A full rebuild (SLAM._rebuild_map) restores a clean table when exact
-    chains matter.
+    slots.  Purely elementwise on the fused table: zero the count of far
+    entries (a zero count IS the free state; coords/points become dead).
     """
+    G = m.groups
+    coords = jax.lax.bitcast_convert_type(
+        m.table[:, :_CNT0], jnp.int32).reshape(G, E, 3)
+    counts = m.table[:, _CNT0:_CNT0 + E]                       # (G,E)
     cvox = jnp.asarray(center) / voxel_size
-    d2 = jnp.sum((m.meta[:, 0:3].astype(jnp.float32) + 0.5 - cvox) ** 2, axis=-1)
+    d2 = jnp.sum((coords.astype(jnp.float32) + 0.5 - cvox) ** 2, axis=-1)
     keep = (d2 * (voxel_size * voxel_size)) <= radius * radius
-    occupied = m.meta[:, 3] > 0
-    removed = jnp.sum(jnp.where(occupied & ~keep, m.meta[:, 3], 0), dtype=jnp.int32)
-    meta = jnp.where((occupied & ~keep)[:, None],
-                     jnp.zeros_like(m.meta), m.meta)
-    return m._replace(meta=meta, num_points=m.num_points - removed)
+    occupied = counts > 0
+    removed = jnp.sum(jnp.where(occupied & ~keep, counts, 0.0)).astype(jnp.int32)
+    new_counts = jnp.where(keep, counts, 0.0)
+    pad = m.table[:, _CNT0 + E:_PTS0]
+    table = jnp.concatenate(
+        [m.table[:, :_CNT0], new_counts, pad, m.table[:, _PTS0:]], axis=1)
+    return m._replace(table=table, num_points=m.num_points - removed)
 
 
-def knn(m: VoxelHashMap, queries, *, voxel_size: float, k: int, probes: int = 8,
+def knn(m: VoxelHashMap, queries, *, voxel_size: float, k: int, probes: int = 0,
         num_shards: int = 1, shard_index=0, neighborhood: int = 27
         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Bounded kNN over the voxel neighborhood (gather + top-k)."""
