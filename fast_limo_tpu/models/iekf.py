@@ -205,16 +205,32 @@ def _chart_project_P(dx, x: st.NavState, x_prop: st.NavState, P, dx_new):
 
 
 def _degeneracy_guard(HTH, dx_, D):
-    """Zero degenerate pose-update directions (esekfom.hpp:1736-1744)."""
+    """Zero degenerate pose-update directions (esekfom.hpp:1736-1744).
+
+    Fast path: when Gershgorin certifies every eigenvalue of the 6×6 pose
+    block is ≥ D (the overwhelmingly common, well-conditioned case — HᵀH
+    diagonals are in the thousands vs D=5), the guard is the identity and
+    the expensive ``eigh`` (≈0.8 ms on v5e) is skipped via ``lax.cond``.
+    The eigh branch runs only on genuinely near-degenerate geometry, where
+    it reproduces the reference exactly.
+    """
     dtype = dx_.dtype
-    w, V = jnp.linalg.eigh(HTH[0:6, 0:6])       # ascending eigenvalues, V columns
-    Vr = jnp.real(V).astype(dtype)
-    wr = jnp.real(w).astype(dtype)
-    # reference: if prod(eigvals) < 1e-20, use identity eigenvector matrix
-    use_I = jnp.prod(wr) < 1e-20
-    Vr = jnp.where(use_I, jnp.eye(6, dtype=dtype), Vr)
-    sel = jnp.where((wr < D)[:, None], jnp.zeros_like(Vr), Vr)  # zero ROWS (ref quirk)
-    head = jnp.linalg.solve(Vr, sel @ dx_[0:6])
+    H6 = HTH[0:6, 0:6]
+    diag = jnp.diagonal(H6)
+    radii = jnp.sum(jnp.abs(H6), axis=1) - jnp.abs(diag)
+    gersh_min = jnp.min(diag - radii)            # lower bound on min eigenvalue
+
+    def exact(dx6):
+        w, V = jnp.linalg.eigh(H6)               # ascending eigenvalues, V columns
+        Vr = jnp.real(V).astype(dtype)
+        wr = jnp.real(w).astype(dtype)
+        # reference: if prod(eigvals) < 1e-20, use identity eigenvector matrix
+        use_I = jnp.prod(wr) < 1e-20
+        Vr = jnp.where(use_I, jnp.eye(6, dtype=dtype), Vr)
+        sel = jnp.where((wr < D)[:, None], jnp.zeros_like(Vr), Vr)  # zero ROWS (ref quirk)
+        return jnp.linalg.solve(Vr, sel @ dx6)
+
+    head = jax.lax.cond(gersh_min >= D, lambda dx6: dx6, exact, dx_[0:6])
     return dx_.at[0:6].set(head)
 
 

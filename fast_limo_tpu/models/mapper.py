@@ -3,16 +3,19 @@ incremental octree (`include/fast_limo/Objects/Octree.hpp`).
 
 The octree's pointer-chasing kNN cannot map to TPU; instead the map is a
 fixed-capacity **bucketized** hash table of voxel entries, laid out so the
-entire lookup is ONE wide-row gather:
+entire lookup is ONE wide-row gather and the entire insert is ONE gather +
+ONE scatter:
 
 * groups of ``E = 8`` entries share one hash slot ("group");
-* each group is a single fused f32 row of width ``W = 3E + E+pad + 3·E·B``::
+* each group is a single fused f32 row of width ``W = 4E + 4·E·B``::
 
-      [ coords: E×3 (int32 bitcast) | counts: E (+1 pad) | points: E×B×3 ]
+      [ meta: E×4 = (vx,vy,vz as exact f32 values, count f32) | points: E×B×4 ]
 
-  so resolving a voxel AND fetching its points costs one row gather.
+  (points padded to 4 lanes) so every write — a point, or an entry's
+  coords+count — is one row-of-4 in the flat ``(G·W/4, 4)`` view, letting
+  the whole insert collapse into a single concatenated scatter.
 
-Why: on TPU, gather cost is per *operation* + per *row* and nearly
+Why: on TPU, gather/scatter cost is per *operation* + per *row* and nearly
 independent of row width (measured v5e: ~0.7 ms fixed + ~6 ns/row for
 16 B–512 B rows — `tools/bench_gather2.py`).  The previous design (linear
 probing, separate meta/points tables) issued 4 probe-round meta gathers plus
@@ -59,14 +62,11 @@ _CORNER_COMBOS = jnp.array(
     dtype=jnp.int32,
 )  # (8, 3)
 
-_CNT0 = 3 * E            # first column of the counts block
-_CNTW = E + (3 - E % 3) % 3  # counts block width padded to a 3 multiple
-_PTS0 = _CNT0 + _CNTW    # first column of the points block (3-aligned)
-_PTROW0 = _PTS0 // 3     # first 3-row of the points block
+_PTS0 = 4 * E  # first column of the points block (also the meta block width)
 
 
 def _row_width(bucket: int) -> int:
-    return _PTS0 + 3 * E * bucket
+    return _PTS0 + 4 * E * bucket
 
 
 class VoxelHashMap(NamedTuple):
@@ -80,7 +80,7 @@ class VoxelHashMap(NamedTuple):
 
     @property
     def bucket(self):
-        return (self.table.shape[1] - _PTS0) // (3 * E)
+        return (self.table.shape[1] - _PTS0) // (4 * E)
 
     @property
     def capacity(self):
@@ -90,18 +90,20 @@ class VoxelHashMap(NamedTuple):
     @property
     def coords(self):
         """(G·E, 3) int32 voxel coords per entry (garbage where count==0)."""
-        c = jax.lax.bitcast_convert_type(self.table[:, :_CNT0], jnp.int32)
-        return c.reshape(self.groups * E, 3)
+        meta = self.table[:, :_PTS0].reshape(self.groups * E, 4)
+        return meta[:, :3].astype(jnp.int32)
 
     @property
     def counts(self):
         """(G·E,) int32 stored-point count per entry (0 = free)."""
-        return self.table[:, _CNT0:_CNT0 + E].reshape(-1).astype(jnp.int32)
+        meta = self.table[:, :_PTS0].reshape(self.groups * E, 4)
+        return meta[:, 3].astype(jnp.int32)
 
     @property
     def points(self):
         """(G·E, B, 3) stored points per entry."""
-        return self.table[:, _PTS0:].reshape(self.groups * E, self.bucket, 3)
+        p = self.table[:, _PTS0:].reshape(self.groups * E, self.bucket, 4)
+        return p[:, :, :3]
 
     @property
     def meta(self):
@@ -112,7 +114,7 @@ class VoxelHashMap(NamedTuple):
 def create(capacity: int, bucket: int, dtype=jnp.float32) -> VoxelHashMap:
     assert capacity & (capacity - 1) == 0, "capacity must be a power of two"
     assert capacity >= E
-    del dtype  # fused table is always f32 (coords are bitcast int32)
+    del dtype  # fused table is always f32 (integer coords are exact in f32)
     return VoxelHashMap(
         table=jnp.zeros((capacity // E, _row_width(bucket)), jnp.float32),
         num_points=jnp.asarray(0, jnp.int32),
@@ -150,11 +152,11 @@ def _group_meta(m: VoxelHashMap, g, nc):
     mixed-index gather lowers to a pathological per-element path (~10×
     slower, measured on v5e — tools/bench_insert.py).
     """
-    meta = m.table[g][..., :_PTS0]                           # (...,_PTS0)
-    coords = jax.lax.bitcast_convert_type(
-        meta[..., :_CNT0], jnp.int32).reshape(*g.shape, E, 3)
-    counts = meta[..., _CNT0:_CNT0 + E]                      # (...,E) f32
-    match = (counts > 0) & jnp.all(coords == nc[..., None, :], axis=-1)
+    meta = m.table[g][..., :_PTS0].reshape(*g.shape, E, 4)
+    coords = meta[..., :3]                                   # (...,E,3) f32 values
+    counts = meta[..., 3]                                    # (...,E) f32
+    match = (counts > 0) & jnp.all(
+        coords == nc[..., None, :].astype(jnp.float32), axis=-1)
     return match, counts
 
 
@@ -178,11 +180,14 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 0,
            num_shards: int = 1, shard_index=0) -> VoxelHashMap:
     """Insert a masked batch of world-frame points (Mapper::add / Octree::update).
 
-    One meta gather + three scatters: points of the same voxel are grouped by
-    a sort, matched against their hash group's E entries, and new voxels are
-    assigned distinct free entries by rank election.  A group whose E entries
-    are all taken rejects further voxels (see module docstring); a full entry
-    rejects further points (octree leaf downsampling, Octree.hpp:399-405).
+    One meta gather + ONE fused scatter: points of the same voxel are grouped
+    by a sort, matched against their hash group's E entries, and new voxels
+    are assigned distinct free entries by rank election.  Each placed point
+    contributes a row-of-4 write; each voxel's last point writes the entry's
+    meta row (coords + final count) — all concatenated into a single scatter.
+    A group whose E entries are all taken rejects further voxels (see module
+    docstring); a full entry rejects further points (octree leaf
+    downsampling, Octree.hpp:399-405).
 
     ``probes`` is accepted for API compatibility and ignored (the fused
     layout has no probe chains).
@@ -195,13 +200,25 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 0,
     idxs = jnp.arange(N)
 
     pts = pts.astype(jnp.float32)
-    vc = voxel_coords(pts, voxel_size)                       # (N,3)
+    vc0 = voxel_coords(pts, voxel_size)                      # (N,3)
     if num_shards > 1:
-        owned, g = _shard_split(_hash(vc, G * num_shards),
-                                G, num_shards, shard_index)
+        owned, g0 = _shard_split(_hash(vc0, G * num_shards),
+                                 G, num_shards, shard_index)
         valid = valid & owned
     else:
-        g = _hash(vc, G)
+        g0 = _hash(vc0, G)
+
+    # ---- group-major sort: points of one voxel contiguous, voxels of one
+    # hash group contiguous (invalids last); EVERYTHING below runs in the
+    # sorted domain so no un-permute scatters are needed ----
+    key_g = jnp.where(valid, g0, jnp.int32(0x7FFFFFFF))
+    packed_xy = ((vc0[:, 0] & 0x7FFF) << 15) | (vc0[:, 1] & 0x7FFF)
+    order = jnp.lexsort((vc0[:, 2], packed_xy, key_g))
+    vc = vc0[order]
+    pts = pts[order]
+    valid = valid[order]
+    g = jnp.where(valid, g0[order], 0)
+    g_s = key_g[order]
 
     # ---- resolve each point's voxel against its group (pre-insert state) ----
     match_e, counts_e = _group_meta(m, g, vc)                # (N,E)
@@ -210,31 +227,20 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 0,
     base_m = jnp.sum(jnp.where(match_e, counts_e, 0.0), axis=-1).astype(jnp.int32)
     free_e = counts_e == 0                                   # (N,E)
 
-    # ---- group-major sort: points of one voxel contiguous, voxels of one
-    # hash group contiguous (invalids last) ----
-    key_g = jnp.where(valid, g, jnp.int32(0x7FFFFFFF))
-    packed_xy = ((vc[:, 0] & 0x7FFF) << 15) | (vc[:, 1] & 0x7FFF)
-    order = jnp.lexsort((vc[:, 2], packed_xy, key_g))
-    vc_s = vc[order]
-    valid_s = valid[order]
-    g_s = key_g[order]
-
-    # rank of each point within its voxel run (0,1,2,…)
+    # rank of each point within its voxel run (0,1,2,…) + run length
     same_voxel = jnp.concatenate(
         [jnp.array([False]),
-         jnp.all(vc_s[1:] == vc_s[:-1], axis=-1) & valid_s[1:] & valid_s[:-1]])
+         jnp.all(vc[1:] == vc[:-1], axis=-1) & valid[1:] & valid[:-1]])
     seg_start = jax.lax.associative_scan(
         jnp.maximum, jnp.where(~same_voxel, idxs, 0))
-    rank_s = (idxs - seg_start).astype(jnp.int32)
+    rank = (idxs - seg_start).astype(jnp.int32)
+    is_last = jnp.concatenate([~same_voxel[1:], jnp.array([True])])
 
     # rank of each NEW voxel among the new voxels of its group: segmented
     # count of voxel-run starts that found no existing entry.
     new_group = jnp.concatenate([jnp.array([True]), g_s[1:] != g_s[:-1]])
-    is_new_start = valid_s & ~same_voxel & ~has_match[order]
-    r_new_s = _seg_sum(is_new_start, new_group) - 1          # valid where new
-
-    rank = jnp.zeros(N, jnp.int32).at[order].set(rank_s)
-    r_new = jnp.zeros(N, jnp.int32).at[order].set(r_new_s)
+    is_new_start = valid & ~same_voxel & ~has_match
+    r_new = _seg_sum(is_new_start, new_group) - 1            # valid where new
 
     # ---- free-entry election: new voxel with group-rank r takes the
     # (r+1)-th free entry of its group ----
@@ -243,33 +249,39 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 0,
     assigned = jnp.any(want, axis=-1)
     entry_n = jnp.argmax(want, axis=-1).astype(jnp.int32)
 
+    resolved = valid & (has_match | assigned)
     entry = jnp.where(has_match, entry_m, entry_n)
     base = jnp.where(has_match, base_m, 0)
     pos = base + rank
-    place = valid & (pos < B) & (has_match | assigned)
+    place = resolved & (pos < B)
 
-    # ---- three scatters into the fused table ----
-    flat3 = m.table.reshape(G * (W // 3), 3)                 # row-of-3 view
-    OOB3 = G * (W // 3)
-    rowbase = g * (W // 3)
+    # ---- ONE fused scatter of rows-of-4 ----
+    # point rows: [x, y, z, 0] at the entry's (base+rank) slot
+    rows4 = W // 4
+    OOB = G * rows4
+    prow = g * rows4 + E + entry * B + pos
+    pvals = jnp.concatenate([pts, jnp.zeros((N, 1), jnp.float32)], axis=1)
 
-    # points: one row of 3 per placed point
-    prow = rowbase + _PTROW0 + entry * B + pos
-    flat3 = flat3.at[jnp.where(place, prow, OOB3)].set(pts, mode="drop")
+    # meta rows: [vx, vy, vz, final_count] written by the voxel's LAST
+    # point — final_count = min(B, base + run_length); also refreshes
+    # existing entries (coords rewrite is idempotent).  Coords are stored as
+    # exact f32 VALUES, never bitcast: XLA does not preserve int bit
+    # patterns through f32 ops (denormal flush / NaN canonicalization —
+    # measured on both CPU and TPU backends).
+    writer = resolved & is_last
+    crow = g * rows4 + entry
+    final_count = jnp.minimum(base + rank + 1, B).astype(jnp.float32)
+    vc_f = vc.astype(jnp.float32)
+    cvals = jnp.concatenate([vc_f, final_count[:, None]], axis=1)
 
-    # coords of newly claimed entries: written by the voxel's rank-0 point
-    writer = place & ~has_match & (rank == 0)
-    crow = rowbase + entry
-    vc_f = jax.lax.bitcast_convert_type(vc, jnp.float32)
-    flat3 = flat3.at[jnp.where(writer, crow, OOB3)].set(vc_f, mode="drop")
-
-    # counts: scalar add per placed point
-    flat1 = flat3.reshape(G * W)
-    coff = g * W + _CNT0 + entry
-    flat1 = flat1.at[jnp.where(place, coff, G * W)].add(1.0, mode="drop")
+    all_rows = jnp.concatenate([
+        jnp.where(place, prow, OOB), jnp.where(writer, crow, OOB)])
+    all_vals = jnp.concatenate([pvals, cvals])
+    flat4 = m.table.reshape(G * rows4, 4)
+    flat4 = flat4.at[all_rows].set(all_vals, mode="drop")
 
     total = jnp.sum(place.astype(jnp.int32))
-    return VoxelHashMap(flat1.reshape(G, W), m.num_points + total, m.last_time)
+    return VoxelHashMap(flat4.reshape(G, W), m.num_points + total, m.last_time)
 
 
 # ---------------------------------------------------------------------------
@@ -325,19 +337,21 @@ def gather_neighborhood(m: VoxelHashMap, queries, *, voxel_size: float,
 
     V = nc.shape[1]
     rows = m.table[g]                                          # (N,V,W) — THE gather
-    coords = jax.lax.bitcast_convert_type(
-        rows[..., :_CNT0], jnp.int32).reshape(N, V, E, 3)
-    counts = rows[..., _CNT0:_CNT0 + E]                        # (N,V,E) f32
-    sel = (counts > 0) & jnp.all(coords == nc[..., None, :], axis=-1)
+    meta = rows[..., :_PTS0].reshape(N, V, E, 4)
+    coords = meta[..., :3]                                     # f32 values
+    counts = meta[..., 3]                                      # (N,V,E) f32
+    sel = (counts > 0) & jnp.all(
+        coords == nc[..., None, :].astype(jnp.float32), axis=-1)
     if owned is not None:
         sel = sel & owned[..., None]
 
     # one-hot entry selection (≤1 true per (query, voxel)) — contraction over
     # E stays in-register; no second gather.
-    pts_all = rows[..., _PTS0:].reshape(N, V, E, B * 3)
-    self_f = sel.astype(jnp.float32)
-    cand_pts = jnp.einsum("nve,nvec->nvc", self_f, pts_all).reshape(N, V, B, 3)
-    cand_n = jnp.einsum("nve,nve->nv", self_f, counts)
+    sel_f = sel.astype(jnp.float32)
+    pts_all = rows[..., _PTS0:].reshape(N, V, E, B * 4)
+    cand = jnp.einsum("nve,nvec->nvc", sel_f, pts_all)
+    cand_pts = cand.reshape(N, V, B, 4)[..., :3]
+    cand_n = jnp.einsum("nve,nve->nv", sel_f, counts)
     cand_valid = (
         jnp.arange(B, dtype=jnp.float32)[None, None, :] < cand_n[..., None]
     )
@@ -346,15 +360,25 @@ def gather_neighborhood(m: VoxelHashMap, queries, *, voxel_size: float,
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def topk_from_candidates(cand_pts, cand_valid, queries, *, k: int):
-    """k smallest squared distances among the candidate buckets (ascending)."""
+    """k smallest squared distances among the candidate buckets (ascending).
+
+    On TPU this runs the fused Pallas distance+k-min kernel (ops/knn.py,
+    ~2× faster than ``lax.top_k`` which sorts the whole candidate row);
+    other backends use the identical-semantics jnp path.
+    """
     N = queries.shape[0]
-    diff = cand_pts - queries[:, None, None, :]
+    flat_pts = cand_pts.reshape(N, -1, 3)
+    flat_valid = cand_valid.reshape(N, -1)
+    platform = jax.devices()[0].platform
+    if platform in ("tpu", "axon"):
+        from fast_limo_tpu.ops import knn as knn_op
+        return knn_op.masked_topk(flat_pts, flat_valid, queries, k=k)
+    diff = flat_pts - queries[:, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)
-    d2 = jnp.where(cand_valid, d2, jnp.inf)
-    d2_flat = d2.reshape(N, -1)
-    neg_top, top_idx = jax.lax.top_k(-d2_flat, k)
+    d2 = jnp.where(flat_valid, d2, jnp.inf)
+    neg_top, top_idx = jax.lax.top_k(-d2, k)
     sq = -neg_top
-    nbrs = jnp.take_along_axis(cand_pts.reshape(N, -1, 3), top_idx[..., None], axis=1)
+    nbrs = jnp.take_along_axis(flat_pts, top_idx[..., None], axis=1)
     valid = jnp.isfinite(sq)
     return nbrs, jnp.where(valid, sq, jnp.inf), valid
 
@@ -370,18 +394,17 @@ def evict_far(m: VoxelHashMap, center, radius: float, *, voxel_size: float) -> V
     entries (a zero count IS the free state; coords/points become dead).
     """
     G = m.groups
-    coords = jax.lax.bitcast_convert_type(
-        m.table[:, :_CNT0], jnp.int32).reshape(G, E, 3)
-    counts = m.table[:, _CNT0:_CNT0 + E]                       # (G,E)
+    meta = m.table[:, :_PTS0].reshape(G, E, 4)
+    coords = meta[..., :3]                                     # f32 values
+    counts = meta[..., 3]                                      # (G,E)
     cvox = jnp.asarray(center) / voxel_size
-    d2 = jnp.sum((coords.astype(jnp.float32) + 0.5 - cvox) ** 2, axis=-1)
+    d2 = jnp.sum((coords + 0.5 - cvox) ** 2, axis=-1)
     keep = (d2 * (voxel_size * voxel_size)) <= radius * radius
     occupied = counts > 0
     removed = jnp.sum(jnp.where(occupied & ~keep, counts, 0.0)).astype(jnp.int32)
-    new_counts = jnp.where(keep, counts, 0.0)
-    pad = m.table[:, _CNT0 + E:_PTS0]
+    new_meta = meta.at[..., 3].set(jnp.where(keep, counts, 0.0))
     table = jnp.concatenate(
-        [m.table[:, :_CNT0], new_counts, pad, m.table[:, _PTS0:]], axis=1)
+        [new_meta.reshape(G, _PTS0), m.table[:, _PTS0:]], axis=1)
     return m._replace(table=table, num_points=m.num_points - removed)
 
 

@@ -146,15 +146,20 @@ class SLAM:
         if float(dist) > lc.sc_dist_thresh:
             return
 
-        # ICP: align kf cloud onto candidate cloud, seeded with SC yaw
+        # ICP: align kf cloud onto candidate cloud.  Two seeds are tried —
+        # the SC-shift yaw (works at unbounded drift) and the
+        # odometry-predicted relative pose (works whenever drift is inside
+        # the convergence basin).  In rotationally self-similar scenes the
+        # SC yaw can be one bin off and ICP then locks onto an alias; the
+        # odometry seed recovers exactly those cases, and the consistency
+        # gate below arbitrates either way.
+        qc_i = so3.quat_conj(jnp.asarray(cand.quat))
+        q_pred = so3.quat_mul(qc_i, jnp.asarray(kf.quat))
+        t_pred = so3.quat_rotate(qc_i, jnp.asarray(kf.pos - cand.pos))
         yaw = float(scancontext.shift_to_yaw(shift))
-        q0 = so3.exp_quat(jnp.asarray([0.0, 0.0, yaw], jnp.float32))
-        res = icp.icp(jnp.asarray(kf.cloud), jnp.asarray(kf.cloud_valid),
-                      jnp.asarray(cand.cloud), jnp.asarray(cand.cloud_valid),
-                      init_quat=q0, max_corr_dist=1.0, iters=15)
-        if (float(res.rmse) > lc.icp_max_rmse
-                or int(res.n_inliers) < lc.icp_min_inliers):
-            return
+        q_sc = so3.exp_quat(jnp.asarray([0.0, 0.0, yaw], jnp.float32))
+        seeds = [(q_pred.astype(jnp.float32), t_pred.astype(jnp.float32)),
+                 (q_sc, None)]
 
         # ICP maps kf-body → cand-body coords, i.e. T_icp ≈ T_cand⁻¹·T_kf —
         # exactly the (i=cand → j=kf) edge measurement T_i⁻¹T_j.
@@ -162,13 +167,23 @@ class SLAM:
         # odometry-predicted relative pose to within the drift budget —
         # rejects perceptual aliases and poor ICP fits before they can
         # corrupt the graph.
-        qc_i = so3.quat_conj(jnp.asarray(cand.quat))
-        q_pred = so3.quat_mul(qc_i, jnp.asarray(kf.quat))
-        t_pred = so3.quat_rotate(qc_i, jnp.asarray(kf.pos - cand.pos))
-        dt_err = float(jnp.linalg.norm(res.trans - t_pred))
-        dr_err = float(jnp.linalg.norm(so3.log_quat(
-            so3.quat_mul(so3.quat_conj(res.quat), q_pred))))
-        if dt_err > lc.consistency_trans or dr_err > lc.consistency_rot:
+        res = None
+        for q0, t0 in seeds:
+            r = icp.icp(jnp.asarray(kf.cloud), jnp.asarray(kf.cloud_valid),
+                        jnp.asarray(cand.cloud), jnp.asarray(cand.cloud_valid),
+                        init_quat=q0, init_trans=t0,
+                        max_corr_dist=1.0, iters=15)
+            if (float(r.rmse) > lc.icp_max_rmse
+                    or int(r.n_inliers) < lc.icp_min_inliers):
+                continue
+            dt_err = float(jnp.linalg.norm(r.trans - t_pred))
+            dr_err = float(jnp.linalg.norm(so3.log_quat(
+                so3.quat_mul(so3.quat_conj(r.quat), q_pred))))
+            if dt_err > lc.consistency_trans or dr_err > lc.consistency_rot:
+                continue
+            if res is None or float(r.rmse) < float(res.rmse):
+                res = r
+        if res is None:
             return
 
         self.loop_edges.append((cand.index, kf.index,
