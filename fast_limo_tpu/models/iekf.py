@@ -115,28 +115,42 @@ def predict_scan(x: st.NavState, P, imu_stack, Q):
     mirroring the propagated_buffer the reference fills per IMU tick
     (Localizer.cpp:600-605).
 
-    TPU-native structure — the K-step chain is NOT run as K sequential
-    covariance updates:
-    1. a cheap sequential scan propagates only the mean (oplus of f·dt),
+    TPU-native structure — the K-step chain has NO sequential part at all:
+    1. the mean chain is preintegration in disguise: the orientation is a
+       prefix product of per-step exponential quaternions (associative →
+       ``lax.associative_scan``, log₂K depth), and velocity/position are
+       cumsums of the world-frame accelerations / pre-step velocities
+       (``d(pos)=vel``, ``d(vel)=R(a−ba)+g`` — process.f, use-ikfom.cpp:43),
     2. all K Jacobians (F_k, G_k Q G_kᵀ) are computed in one vmap batch
        from the propagated means,
     3. the covariance map P ↦ F P Fᵀ + GQG is affine, so the K maps fold
        into one in log₂K levels of batched 23×23 compositions:
        (A₂,B₂)∘(A₁,B₁) = (A₂A₁, A₂B₁A₂ᵀ + B₂), then P_f = A P Aᵀ + B.
     Algebraically identical to the sequential chain (f32 rounding differs
-    only in association order).
+    only in association order).  Invalid samples get dt=0, which is an
+    exact passthrough (exp(0)=identity, zero increments).
     """
     dtype = x.dtype
     valid = imu_stack["valid"]
+    K = valid.shape[0]
 
-    def xstep(xc, u):
-        f_ = process.f(xc, u["acc"], u["gyro"])
-        xn = st.oplus_flat(xc, f_, u["dt"])
-        xn = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(u["valid"], a, b), xn, xc)
-        return xn, xn
+    dt_m = jnp.where(valid, imu_stack["dt"], 0).astype(dtype)       # (K,)
+    omega = (imu_stack["gyro"] - x.bg[None]) * dt_m[:, None]        # (K,3)
+    chain = jnp.concatenate([x.rot[None], so3.exp_quat(omega)], axis=0)
+    q_incl = jax.lax.associative_scan(so3.quat_mul, chain, axis=0)  # (K+1,4)
+    q_after = q_incl[1:]
+    a_world = so3.quat_rotate(
+        q_incl[:-1], imu_stack["acc"] - x.ba[None]) + x.grav[None]  # at pre-step q
+    v_after = x.vel[None] + jnp.cumsum(a_world * dt_m[:, None], axis=0)
+    v_before = jnp.concatenate([x.vel[None], v_after[:-1]], axis=0)
+    p_after = x.pos[None] + jnp.cumsum(v_before * dt_m[:, None], axis=0)
 
-    x_f, xs = jax.lax.scan(xstep, x, imu_stack)
+    const = lambda a: jnp.broadcast_to(a[None], (K,) + a.shape)
+    xs = st.NavState(
+        pos=p_after, rot=q_after, rot_LI=const(x.rot_LI),
+        t_LI=const(x.t_LI), vel=v_after, bg=const(x.bg), ba=const(x.ba),
+        grav=const(x.grav))
+    x_f = jax.tree_util.tree_map(lambda a: a[-1], xs)
 
     # each step's Jacobians are functions of its PREVIOUS state
     x_prev = jax.tree_util.tree_map(
