@@ -8,6 +8,10 @@ dense Cholesky on the MXU beats sparse scalar pivoting by a mile on TPU.
 
 Edge residual (factor): r = log_se3(T_meas⁻¹ · T_i⁻¹ · T_j), 6-dim; node
 update is right-multiplicative (T ← T·exp(δ)).  Gauge fixed by node 0.
+
+Unary position priors (the GPS factors of the reference's loop branch,
+README.md:152-159 — GPS assumed already converted into the odometry world
+frame): r = t_i − p_meas, 3-dim, accumulated into the same normal equations.
 """
 
 from __future__ import annotations
@@ -32,11 +36,18 @@ class PoseGraph(NamedTuple):
     edge_quat: jnp.ndarray   # (E,4) measured T_i→T_j rotation
     edge_trans: jnp.ndarray  # (E,3)
     edge_weight: jnp.ndarray  # (E,) information weight (0 = unused slot)
+    # unary position priors (GPS factors)
+    prior_idx: jnp.ndarray    # (Pn,) int32 node index
+    prior_pos: jnp.ndarray    # (Pn,3) measured world position
+    prior_weight: jnp.ndarray  # (Pn,) information weight (0 = unused slot)
     n_nodes: jnp.ndarray     # ()
     n_edges: jnp.ndarray     # ()
+    n_priors: jnp.ndarray    # ()
 
 
-def create(max_nodes: int, max_edges: int, dtype=jnp.float32) -> PoseGraph:
+def create(max_nodes: int, max_edges: int, max_priors: int = 0,
+           dtype=jnp.float32) -> PoseGraph:
+    max_priors = max_priors or max_nodes
     return PoseGraph(
         quat=jnp.tile(so3.quat_identity(dtype), (max_nodes, 1)),
         trans=jnp.zeros((max_nodes, 3), dtype),
@@ -46,8 +57,12 @@ def create(max_nodes: int, max_edges: int, dtype=jnp.float32) -> PoseGraph:
         edge_quat=jnp.tile(so3.quat_identity(dtype), (max_edges, 1)),
         edge_trans=jnp.zeros((max_edges, 3), dtype),
         edge_weight=jnp.zeros(max_edges, dtype),
+        prior_idx=jnp.zeros(max_priors, jnp.int32),
+        prior_pos=jnp.zeros((max_priors, 3), dtype),
+        prior_weight=jnp.zeros(max_priors, dtype),
         n_nodes=jnp.asarray(0, jnp.int32),
         n_edges=jnp.asarray(0, jnp.int32),
+        n_priors=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -73,6 +88,17 @@ def add_edge(g: PoseGraph, i, j, quat, trans, weight=1.0) -> PoseGraph:
     )
 
 
+def add_prior(g: PoseGraph, i, pos, weight=1.0) -> PoseGraph:
+    """Attach a unary position prior (GPS factor) to node ``i``."""
+    p = g.n_priors
+    return g._replace(
+        prior_idx=g.prior_idx.at[p].set(jnp.asarray(i, jnp.int32)),
+        prior_pos=g.prior_pos.at[p].set(pos),
+        prior_weight=g.prior_weight.at[p].set(weight),
+        n_priors=p + 1,
+    )
+
+
 def _edge_residual(qi, ti, qj, tj, qm, tm, di, dj):
     """r(δi, δj) with right-perturbed nodes; autodiff gives the Jacobians."""
     qi2, ti2 = se3.compose(qi, ti, *se3.exp(di))
@@ -80,6 +106,12 @@ def _edge_residual(qi, ti, qj, tj, qm, tm, di, dj):
     q_ij, t_ij = se3.compose(*se3.inverse(qi2, ti2), qj2, tj2)
     q_err, t_err = se3.compose(*se3.inverse(qm, tm), q_ij, t_ij)
     return se3.log(q_err, t_err)
+
+
+def _prior_residual(qi, ti, pm, di):
+    """Unary position residual with a right-perturbed node."""
+    _, ti2 = se3.compose(qi, ti, *se3.exp(di))
+    return ti2 - pm
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "edge_axis"))
@@ -100,6 +132,7 @@ def optimize(g: PoseGraph, *, iters: int = 10, damping: float = 1e-6,
     res_fn = _edge_residual
     Ji_fn = jax.jacfwd(res_fn, argnums=6)
     Jj_fn = jax.jacfwd(res_fn, argnums=7)
+    Jp_fn = jax.jacfwd(_prior_residual, argnums=3)
 
     def gn_step(carry, _):
         quat, trans = carry
@@ -130,11 +163,28 @@ def optimize(g: PoseGraph, *, iters: int = 10, damping: float = 1e-6,
         b = b.at[g.edge_i].add(-jnp.einsum("eab,ea->eb", wJi, r))
         b = b.at[g.edge_j].add(-jnp.einsum("eab,ea->eb", wJj, r))
 
+        # unary GPS/position priors — replicated across devices, so they are
+        # accumulated into SEPARATE normal-equation terms added after the
+        # edge psum (adding them before would count them axis-size times)
+        qp, tp = quat[g.prior_idx], trans[g.prior_idx]
+        rp = jax.vmap(_prior_residual, in_axes=(0, 0, 0, None))(
+            qp, tp, g.prior_pos, zero6)                                   # (P,3)
+        Jp = jax.vmap(Jp_fn, in_axes=(0, 0, 0, None))(
+            qp, tp, g.prior_pos, zero6)                                   # (P,3,6)
+        wp = g.prior_weight
+        wJp = Jp * wp[:, None, None]
+        Hp = jnp.zeros((K, 6, K, 6), dtype).at[g.prior_idx, :, g.prior_idx, :].add(
+            jnp.einsum("eab,eac->ebc", wJp, Jp))
+        bp = jnp.zeros((K, 6), dtype).at[g.prior_idx].add(
+            -jnp.einsum("eab,ea->eb", wJp, rp))
+
         Hd = H.reshape(6 * K, 6 * K)
         bd = b.reshape(6 * K)
         if edge_axis is not None:  # reduce sharded edge factors over ICI
             Hd = jax.lax.psum(Hd, edge_axis)
             bd = jax.lax.psum(bd, edge_axis)
+        Hd = Hd + Hp.reshape(6 * K, 6 * K)
+        bd = bd + bp.reshape(6 * K)
         # gauge: clamp node 0; deactivate invalid nodes
         active = jnp.repeat(g.node_valid.at[0].set(False), 6)
         Hd = jnp.where(active[:, None] & active[None, :], Hd, 0.0)
@@ -149,6 +199,7 @@ def optimize(g: PoseGraph, *, iters: int = 10, damping: float = 1e-6,
         cost = jnp.sum(w * jnp.sum(r * r, axis=-1))
         if edge_axis is not None:
             cost = jax.lax.psum(cost, edge_axis)
+        cost = cost + jnp.sum(wp * jnp.sum(rp * rp, axis=-1))
         return (quat, trans), cost
 
     (quat, trans), costs = jax.lax.scan(gn_step, (g.quat, g.trans), None,
@@ -174,7 +225,8 @@ def optimize_distributed(g: PoseGraph, mesh, *, iters: int = 10,
         quat=P(), trans=P(), node_valid=P(),
         edge_i=P(axis), edge_j=P(axis), edge_quat=P(axis),
         edge_trans=P(axis), edge_weight=P(axis),
-        n_nodes=P(), n_edges=P())
+        prior_idx=P(), prior_pos=P(), prior_weight=P(),
+        n_nodes=P(), n_edges=P(), n_priors=P())
 
     def inner(gg):
         return optimize(gg, iters=iters, edge_axis=axis)

@@ -45,6 +45,10 @@ class LoopConfig:
     max_edges: int = 4096
     optimize_iters: int = 8
     loop_weight: float = 5.0
+    gps_weight: float = 5.0         # information weight of GPS position priors
+    gps_time_tol: float = 0.25      # s: max |gps stamp − keyframe stamp| to attach
+    gps_optimize_every: int = 0     # re-optimize after this many new GPS factors
+                                    # even without a loop closure (0 = only on loops)
 
 
 @dataclass
@@ -72,6 +76,11 @@ class SLAM:
         self.loop_edges: List[tuple] = []   # (i, j, quat, trans, weight)
         self.n_loops_closed = 0
         self._last_scan_count = 0
+        # GPS factors (reference loop branch, README.md:152-159): positions
+        # must already be in the odometry world frame (ENU w/ shared origin)
+        self._gps_buffer: List[tuple] = []   # (stamp, pos, weight) pending
+        self.gps_factors: List[tuple] = []   # (kf_index, pos, weight)
+        self._gps_since_opt = 0
 
     # ------------------------------------------------------------- feeding
     def update_imu(self, stamp, acc, gyro):
@@ -81,6 +90,41 @@ class SLAM:
     def update_pointcloud(self, points, t_raw, stamp):
         self.loc.update_pointcloud(points, t_raw, stamp)
         self._after_dispatch()
+
+    def update_gps(self, stamp, pos, weight: Optional[float] = None):
+        """Feed a GPS fix (world-frame position, seconds).  Attached as a
+        unary pose-graph prior to the keyframe nearest in time."""
+        self._gps_buffer.append(
+            (float(stamp), np.asarray(pos, np.float64),
+             float(weight) if weight is not None else self.loop_cfg.gps_weight))
+        self._attach_gps()
+        lc = self.loop_cfg
+        if (lc.gps_optimize_every and len(self.keyframes) > 1
+                and self._gps_since_opt >= lc.gps_optimize_every):
+            self._gps_since_opt = 0
+            self._optimize_and_correct()
+
+    def _attach_gps(self):
+        """Bind buffered fixes to keyframes once a close-enough one exists."""
+        if not self.keyframes:
+            return
+        tol = self.loop_cfg.gps_time_tol
+        latest = self.keyframes[-1].stamp
+        keep = []
+        for (ts, pos, w) in self._gps_buffer:
+            best, bd = None, tol
+            for kf in reversed(self.keyframes):
+                d = abs(kf.stamp - ts)
+                if d <= bd:
+                    best, bd = kf, d
+                if kf.stamp < ts - tol:
+                    break
+            if best is not None:
+                self.gps_factors.append((best.index, pos, w))
+                self._gps_since_opt += 1
+            elif ts > latest - tol:
+                keep.append((ts, pos, w))   # its keyframe may not exist yet
+        self._gps_buffer = keep
 
     # ------------------------------------------------------------- internals
     def _after_dispatch(self):
@@ -122,6 +166,7 @@ class SLAM:
             desc=desc, ring_key=np.asarray(scancontext.ring_key(jnp.asarray(desc))),
             cloud=cloud, cloud_valid=cvalid)
         self.keyframes.append(kf)
+        self._attach_gps()
         self._detect_loop(kf)
 
     def _detect_loop(self, kf: Keyframe):
@@ -210,6 +255,8 @@ class SLAM:
             # edge measurement: pose of j in i's frame; ICP gave T_i←j
             g = posegraph.add_edge(g, i, j, jnp.asarray(q), jnp.asarray(t),
                                    lc.loop_weight)
+        for (i, pos, w) in self.gps_factors:
+            g = posegraph.add_prior(g, i, jnp.asarray(pos, jnp.float32), w)
 
         g2, _ = posegraph.optimize(g, iters=lc.optimize_iters)
 
