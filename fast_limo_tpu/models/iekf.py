@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from fast_limo_tpu.models import process
 from fast_limo_tpu.models import state as st
-from fast_limo_tpu.ops import s2, so3
+from fast_limo_tpu.ops import linalg, s2, so3
 
 N = st.ERR_DIM  # 23
 M_OBS = 12      # columns of the measurement Jacobian (esekfom.hpp:1647)
@@ -309,20 +309,25 @@ def update_iterated(
         dx_new, P_it = _chart_project_P(dx, x, x_prop, P_prop, dx)
 
         # Gain in covariance form on measurements COMPRESSED to 12 dims:
-        # HᵀH = VΛVᵀ ⇒ an exactly equivalent 12-row problem H̃ = Λ^½Vᵀ,
-        # h̃ = Λ^-½Vᵀ(Hᵀh).  This is the reference's own m×m path
+        # HᵀH = L Lᵀ ⇒ an exactly equivalent 12-row problem H̃ = Lᵀ,
+        # h̃ = L⁻¹(Hᵀh) (masked Cholesky — exact for unobserved dims, see
+        # ops/linalg.py).  This is the reference's own m×m path
         # (esekfom.hpp:1701-1709, K = PHᵀ(HPHᵀ/R + I)⁻¹/R) — Woodbury-equal
         # to its n×n information path but f32-stable: no P⁻¹ is ever formed
         # (the double inversion spans ~9 decades and breaks in single
         # precision; the reference sidesteps it by running in double).
-        w_c, V_c = jnp.linalg.eigh(HTH)
-        s_c = jnp.sqrt(jnp.clip(w_c, 0.0, None))
-        Ht12 = s_c[:, None] * V_c.T                       # (12,12) = H̃
-        good_c = s_c > 1e-6 * jnp.max(s_c, initial=0.0)
-        h_c = jnp.where(good_c, (V_c.T @ HTh) / jnp.where(good_c, s_c, 1.0), 0.0)
+        # Both the factorization and the S-solve are UNROLLED in-graph ops:
+        # jnp.linalg custom calls cost ~0.5 ms each on a tunneled v5e.
+        Ht12, h_c = linalg.masked_chol_compress(HTH, HTh)
 
         PHt = P_it[:, 0:M_OBS] @ Ht12.T                   # (23,12) = P H̃ᵀ
         S = (Ht12 @ PHt[0:M_OBS]) / R + jnp.eye(M_OBS, dtype=dtype)
+        # S keeps the pivoted LAPACK solve: f32 P develops small asymmetry
+        # over scans which LU absorbs, while an unpivoted in-graph Cholesky
+        # degrades catastrophically on it (measured: the filter spirals
+        # indefinite within ~5 scans).  The compression above stays on the
+        # unrolled masked Cholesky — that one factors fresh HᵀH every
+        # iteration, which IS symmetric-PSD by construction.
         K_ = jnp.linalg.solve(S.T, PHt.T).T / R           # (23,12) = PH̃ᵀS⁻¹/R
         K_h = K_ @ h_c
         K_x = jnp.zeros((N, N), dtype=dtype).at[:, 0:M_OBS].set(K_ @ Ht12)
