@@ -18,6 +18,7 @@ from collections import deque
 from dataclasses import dataclass, field
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -263,17 +264,29 @@ class Localizer:
 
     # ------------------------------------------------------------------ query
     def _materialize_upto(self, n: int) -> None:
-        while len(self._materialized) < n:
-            idx = len(self._materialized)
-            epoch, out = self._raw_outputs[idx]
+        start = len(self._materialized)
+        if start >= n:
+            return
+        # ONE batched device→host fetch for the whole backlog: per-field
+        # np.asarray costs a full tunnel round-trip EACH (~tens of ms on the
+        # tunneled TPU), which showed up as periodic multi-second stalls in
+        # the streaming loop.  jax.device_get of the collected pytree drains
+        # everything in a single request.
+        pend = self._raw_outputs[start:n]
+        fetched = jax.device_get(
+            [(o.scan_stamp, o.pos, o.quat, o.vel, o.n_iters, o.n_pc2match)
+             for (_, o) in pend])
+        for (epoch, _), (sstamp, pos, quat, vel, n_it, n_pc) in zip(pend, fetched):
             self._materialized.append({
-                "stamp": epoch + float(out.scan_stamp),
-                "pos": np.asarray(out.pos),
-                "quat": np.asarray(out.quat),
-                "vel": np.asarray(out.vel),
-                "n_iters": int(out.n_iters),
-                "n_pc2match": int(out.n_pc2match),
+                "stamp": epoch + float(sstamp),
+                "pos": np.asarray(pos),
+                "quat": np.asarray(quat),
+                "vel": np.asarray(vel),
+                "n_iters": int(n_it),
+                "n_pc2match": int(n_pc),
             })
+        for idx in range(start, n):
+            epoch, _ = self._raw_outputs[idx]
             self._raw_outputs[idx] = (epoch, None)  # release device arrays
 
     @property

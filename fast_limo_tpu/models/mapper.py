@@ -211,9 +211,16 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 0,
     # ---- group-major sort: points of one voxel contiguous, voxels of one
     # hash group contiguous (invalids last); EVERYTHING below runs in the
     # sorted domain so no un-permute scatters are needed ----
+    # The voxel sub-key packs 10 bits/axis: two distinct voxels of one batch
+    # only collide at Δ=1024 voxels (≥1.2 km inside ONE scan/keyframe cloud
+    # — beyond any sensor range), and run membership is still verified on
+    # exact coords below (same_voxel).
     key_g = jnp.where(valid, g0, jnp.int32(0x7FFFFFFF))
-    packed_xy = ((vc0[:, 0] & 0x7FFF) << 15) | (vc0[:, 1] & 0x7FFF)
-    order = jnp.lexsort((vc0[:, 2], packed_xy, key_g))
+    packed = (((vc0[:, 0] & 0x3FF) << 20)
+              | ((vc0[:, 1] & 0x3FF) << 10)
+              | (vc0[:, 2] & 0x3FF))
+    _, _, order = jax.lax.sort(
+        (key_g, packed, jnp.arange(N, dtype=jnp.int32)), num_keys=2)
     vc = vc0[order]
     pts = pts[order]
     valid = valid[order]

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Microbenchmark the insert sub-stages of the fused-group voxel map."""
+"""Microbenchmark the insert path of the fused-group voxel map."""
 
 import os
 import sys
@@ -13,8 +13,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from fast_limo_tpu.models import mapper
-from fast_limo_tpu.models.mapper import (E, _CNT0, _PTS0, _PTROW0, _hash,
-                                         _seg_sum, voxel_coords)
 
 R = 30
 
@@ -54,10 +52,9 @@ def main():
     q0 = jnp.asarray(rng.uniform([-40, -40, -2], [40, 40, 6], (N, 3)), jnp.float32)
     valid = jnp.ones(N, bool)
     G, W = m.table.shape
-    B = bucket
 
     t_null = loop_time(lambda q: q + 1e-6, q0)
-    print(f"null: {t_null*1e3/R:.3f} ms/iter")
+    print(f"null: {t_null*1e3/R:.3f} ms/iter  (device {jax.devices()[0]})")
 
     def tm(name, body, carry=q0):
         t = (loop_time(body, carry) - t_null) / R * 1e3
@@ -69,88 +66,32 @@ def main():
         return q + m2.table[0, 0] * 1e-12
     tm("insert full", full)
 
-    # stage 1: hash + meta gather + match
-    def s1(q):
-        vc = voxel_coords(q, vs)
-        g = _hash(vc, G)
-        meta = m.table[g, :_PTS0]
-        coords = jax.lax.bitcast_convert_type(
-            meta[..., :_CNT0], jnp.int32).reshape(N, E, 3)
-        counts = meta[..., _CNT0:_CNT0 + E]
-        match = (counts > 0) & jnp.all(coords == vc[:, None, :], axis=-1)
-        return q + jnp.sum(match).astype(jnp.float32) * 1e-12
-    tm("meta gather + match", s1)
+    def meta(q):
+        vc = mapper.voxel_coords(q, vs)
+        g = mapper._hash(vc, G)
+        match, counts = mapper._group_meta(m, g, vc)
+        return q + jnp.sum(counts) * 1e-12
+    tm("meta gather + match", meta)
 
-    # stage 2: lexsort 3 keys
-    def s2(q):
-        vc = voxel_coords(q, vs)
-        g = _hash(vc, G)
+    def srt(q):
+        vc = mapper.voxel_coords(q, vs)
+        g = mapper._hash(vc, G)
         key_g = jnp.where(valid, g, jnp.int32(0x7FFFFFFF))
-        packed_xy = ((vc[:, 0] & 0x7FFF) << 15) | (vc[:, 1] & 0x7FFF)
-        order = jnp.lexsort((vc[:, 2], packed_xy, key_g))
+        packed = ((vc[:, 0] & 0x7FFF) << 15) | (vc[:, 1] & 0x7FFF)
+        order = jnp.lexsort((vc[:, 2], packed, key_g))
         return q + jnp.sum(order).astype(jnp.float32) * 1e-12
-    tm("lexsort 3 keys", s2)
+    tm("lexsort 3 keys", srt)
 
-    def s2b(q):
-        vc = voxel_coords(q, vs)
-        key_hi = ((vc[:, 0] & 0x7FFF) << 15) | (vc[:, 1] & 0x7FFF)
-        order = jnp.lexsort((vc[:, 2], key_hi))
-        return q + jnp.sum(order).astype(jnp.float32) * 1e-12
-    tm("lexsort 2 keys (old)", s2b)
+    rows4 = W // 4
+    rowidx = jnp.asarray(rng.integers(0, G * rows4, N), jnp.int32)
 
-    # stage 3: permutes + scans
-    def s3(q):
-        vc = voxel_coords(q, vs)
-        g = _hash(vc, G)
-        key_g = jnp.where(valid, g, jnp.int32(0x7FFFFFFF))
-        packed_xy = ((vc[:, 0] & 0x7FFF) << 15) | (vc[:, 1] & 0x7FFF)
-        order = jnp.lexsort((vc[:, 2], packed_xy, key_g))
-        idxs = jnp.arange(N)
-        vc_s = vc[order]
-        valid_s = valid[order]
-        g_s = key_g[order]
-        same_voxel = jnp.concatenate(
-            [jnp.array([False]),
-             jnp.all(vc_s[1:] == vc_s[:-1], axis=-1) & valid_s[1:] & valid_s[:-1]])
-        seg_start = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(~same_voxel, idxs, 0))
-        rank_s = (idxs - seg_start).astype(jnp.int32)
-        new_group = jnp.concatenate([jnp.array([True]), g_s[1:] != g_s[:-1]])
-        is_new_start = valid_s & ~same_voxel
-        r_new_s = _seg_sum(is_new_start, new_group) - 1
-        rank = jnp.zeros(N, jnp.int32).at[order].set(rank_s)
-        r_new = jnp.zeros(N, jnp.int32).at[order].set(r_new_s)
-        return q + (jnp.sum(rank) + jnp.sum(r_new)).astype(jnp.float32) * 1e-12
-    tm("sort+permutes+scans", s3)
-
-    # stage 4: the three scatters (fixed targets)
-    vc0 = voxel_coords(q0, vs)
-    g0 = _hash(vc0, G)
-    entry0 = jnp.asarray(rng.integers(0, E, N), jnp.int32)
-    pos0 = jnp.asarray(rng.integers(0, B, N), jnp.int32)
-
-    def s4(q):
-        flat3 = m.table.reshape(G * (W // 3), 3)
-        OOB3 = G * (W // 3)
-        rowbase = g0 * (W // 3)
-        prow = rowbase + _PTROW0 + entry0 * B + pos0
-        flat3 = flat3.at[prow].set(q, mode="drop")
-        crow = rowbase + entry0
-        vc_f = jax.lax.bitcast_convert_type(vc0 + q[0, 0].astype(jnp.int32), jnp.float32)
-        flat3 = flat3.at[crow].set(vc_f, mode="drop")
-        flat1 = flat3.reshape(G * W)
-        coff = g0 * W + _CNT0 + entry0
-        flat1 = flat1.at[coff].add(1.0, mode="drop")
-        return q + flat1[0] * 1e-12
-    tm("3 scatters", s4)
-
-    # single scatter only
-    def s5(q):
-        flat3 = m.table.reshape(G * (W // 3), 3)
-        prow = g0 * (W // 3) + _PTROW0 + entry0 * B + pos0
-        flat3 = flat3.at[prow].set(q, mode="drop")
-        return q + flat3[0, 0] * 1e-12
-    tm("points scatter only", s5)
+    def sct(q):
+        flat4 = m.table.reshape(G * rows4, 4)
+        vals = jnp.concatenate([q, jnp.zeros((N, 1), jnp.float32)], axis=1)
+        flat4 = flat4.at[rowidx + q[0, 0].astype(jnp.int32) * 0].set(
+            vals, mode="drop")
+        return q + flat4[0, 0] * 1e-12
+    tm("fused scatter (2N rows-of-4)", sct)
 
 
 if __name__ == "__main__":
