@@ -42,7 +42,7 @@ class Localizer:
         self.cfg = cfg
         self.sync_timing = sync_timing     # block per scan for exact ms/scan
         self.telemetry = Telemetry()
-        self.scan_step = pl.build_scan_step(cfg)
+        self.scan_step = pl.build_scan_step_packed(cfg)
         self.state: Optional[pl.LIOState] = None          # device state (after calib)
         self.epoch: Optional[float] = None                # absolute epoch (f64)
 
@@ -180,33 +180,24 @@ class Localizer:
         epoch_shift = 0.0 if self.epoch is None else new_epoch - self.epoch
         self.epoch = new_epoch
 
-        points = np.zeros((N, 3), np.float32)
-        t_raw = np.zeros(N, np.float32)
-        valid = np.zeros(N, bool)
-        points[:npts] = pts
-        t_raw[:npts] = traw
-        valid[:npts] = True
+        # exactly TWO host→device arrays per scan (each separate transfer
+        # costs a fixed RPC on a tunneled device — see build_scan_step_packed)
+        scan_pack = np.zeros((N, 4), np.float32)
+        scan_pack[:npts, :3] = pts
+        scan_pack[:npts, 3] = traw
 
-        imu_acc = np.zeros((K, 3), np.float32)
-        imu_gyro = np.zeros((K, 3), np.float32)
-        imu_stamp = np.zeros(K, np.float32)
-        imu_valid = np.zeros(K, bool)
+        imu_pack = np.zeros((K, 8), np.float32)
         for i, (s, a, g) in enumerate(batch):
-            imu_stamp[i] = s - new_epoch
-            imu_acc[i] = a
-            imu_gyro[i] = g
-            imu_valid[i] = True
+            imu_pack[i, 0:3] = a
+            imu_pack[i, 3:6] = g
+            imu_pack[i, 6] = s - new_epoch
+        imu_pack[0, 7] = npts
+        imu_pack[1, 7] = len(batch)
+        imu_pack[2, 7] = epoch_shift
 
-        b = pl.ScanBatch(
-            points=jnp.asarray(points), t_raw=jnp.asarray(t_raw),
-            valid=jnp.asarray(valid),
-            stamp=jnp.asarray(0.0, jnp.float32),
-            epoch_shift=jnp.asarray(epoch_shift, jnp.float32),
-            imu_acc=jnp.asarray(imu_acc), imu_gyro=jnp.asarray(imu_gyro),
-            imu_stamp=jnp.asarray(imu_stamp), imu_valid=jnp.asarray(imu_valid),
-        )
         self.telemetry.scan_begin()
-        self.state, out = self.scan_step(self.state, b)
+        self.state, out = self.scan_step(
+            self.state, jnp.asarray(scan_pack), jnp.asarray(imu_pack))
         self._maybe_evict(out)
         if self.sync_timing:
             import jax

@@ -268,6 +268,47 @@ def build_scan_step(cfg: Config, *, donate: bool = True, jit: bool = True,
     return scan_step
 
 
+def build_scan_step_packed(cfg: Config, *, donate: bool = True):
+    """Transfer-minimal entry point for streaming hosts.
+
+    On a tunneled/remote accelerator every host→device transfer pays a fixed
+    per-call cost regardless of size, so the 9 arrays of ``ScanBatch`` are
+    packed into exactly TWO:
+
+    * ``scan_pack`` (N,4) f32 — ``[x, y, z, t_raw]`` rows, zero-padded;
+    * ``imu_pack``  (K,8) f32 — ``[acc(3), gyro(3), stamp, aux]`` rows, where
+      the ``aux`` column carries the scalars: ``aux[0]=n_pts``,
+      ``aux[1]=n_imu``, ``aux[2]=epoch_shift`` (counts are exact in f32 —
+      they are bounded by the static shapes, far below 2²⁴).
+
+    The unpack runs inside the jit (free: slices of resident buffers).
+    Semantics are identical to ``build_scan_step`` — see
+    ``tests/test_pipeline.py::test_packed_step_matches_unpacked``.
+    """
+    inner = build_scan_step(cfg, donate=False, jit=False)
+    N = cfg.tpu.max_points_per_scan
+    K = cfg.tpu.imu_batch
+
+    def packed_step(s: LIOState, scan_pack, imu_pack):
+        n_pts = imu_pack[0, 7].astype(jnp.int32)
+        n_imu = imu_pack[1, 7].astype(jnp.int32)
+        epoch_shift = imu_pack[2, 7]
+        b = ScanBatch(
+            points=scan_pack[:, :3],
+            t_raw=scan_pack[:, 3],
+            valid=jnp.arange(N) < n_pts,
+            stamp=jnp.zeros((), jnp.float32),
+            epoch_shift=epoch_shift,
+            imu_acc=imu_pack[:, 0:3],
+            imu_gyro=imu_pack[:, 3:6],
+            imu_stamp=imu_pack[:, 6],
+            imu_valid=jnp.arange(K) < n_imu,
+        )
+        return inner(s, b)
+
+    return jax.jit(packed_step, donate_argnums=(0,) if donate else ())
+
+
 def build_imu_step(cfg: Config):
     """Single-sample streaming predict for IMU-rate odometry output.
 

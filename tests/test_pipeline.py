@@ -140,3 +140,56 @@ class TestCalibration:
         gt = seq.traj.pos(loc.stamps() - 1.3)
         err = np.linalg.norm(est - gt, axis=1)
         assert err[-1] < 0.5, f"errors {err.round(3)}"
+
+
+def test_packed_step_matches_unpacked(seq):
+    """build_scan_step_packed unpacks to EXACTLY the ScanBatch semantics."""
+    import jax
+
+    from fast_limo_tpu.models import pipeline as pl
+
+    cfg = small_cfg()
+    N, K = cfg.tpu.max_points_per_scan, cfg.tpu.imu_batch
+    step = pl.build_scan_step(cfg, donate=False)
+    pstep = pl.build_scan_step_packed(cfg, donate=False)
+
+    rng = np.random.default_rng(0)
+    npts, nimu = N - 100, K - 5
+    pts = rng.uniform(-20, 20, (npts, 3)).astype(np.float32)
+    traw = np.linspace(0, 0.1, npts).astype(np.float32)
+    acc = (rng.normal(0, 0.05, (nimu, 3)) + [0, 0, 9.81]).astype(np.float32)
+    gyro = rng.normal(0, 0.01, (nimu, 3)).astype(np.float32)
+    istamp = np.linspace(0.005, 0.105, nimu).astype(np.float32)
+
+    points = np.zeros((N, 3), np.float32); points[:npts] = pts
+    t_raw = np.zeros(N, np.float32); t_raw[:npts] = traw
+    valid = np.zeros(N, bool); valid[:npts] = True
+    imu_acc = np.zeros((K, 3), np.float32); imu_acc[:nimu] = acc
+    imu_gyro = np.zeros((K, 3), np.float32); imu_gyro[:nimu] = gyro
+    imu_stamp = np.zeros(K, np.float32); imu_stamp[:nimu] = istamp
+    imu_valid = np.zeros(K, bool); imu_valid[:nimu] = True
+
+    b = pl.ScanBatch(
+        points=jnp.asarray(points), t_raw=jnp.asarray(t_raw),
+        valid=jnp.asarray(valid), stamp=jnp.asarray(0.0, jnp.float32),
+        epoch_shift=jnp.asarray(0.1, jnp.float32),
+        imu_acc=jnp.asarray(imu_acc), imu_gyro=jnp.asarray(imu_gyro),
+        imu_stamp=jnp.asarray(imu_stamp), imu_valid=jnp.asarray(imu_valid))
+
+    scan_pack = np.zeros((N, 4), np.float32)
+    scan_pack[:npts, :3] = pts
+    scan_pack[:npts, 3] = traw
+    imu_pack = np.zeros((K, 8), np.float32)
+    imu_pack[:nimu, 0:3] = acc
+    imu_pack[:nimu, 3:6] = gyro
+    imu_pack[:nimu, 6] = istamp
+    imu_pack[0, 7] = npts
+    imu_pack[1, 7] = nimu
+    imu_pack[2, 7] = 0.1
+
+    s0 = pl.init_state(cfg)
+    s1, o1 = step(s0, b)
+    s2, o2 = pstep(s0, jnp.asarray(scan_pack), jnp.asarray(imu_pack))
+    for a, bb in zip(jax.tree_util.tree_leaves((s1, o1)),
+                     jax.tree_util.tree_leaves((s2, o2))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
