@@ -182,9 +182,19 @@ class Localizer:
 
         # exactly TWO host→device arrays per scan (each separate transfer
         # costs a fixed RPC on a tunneled device — see build_scan_step_packed)
-        scan_pack = np.zeros((N, 4), np.float32)
-        scan_pack[:npts, :3] = pts
-        scan_pack[:npts, 3] = traw
+        quant = float(cfg.tpu.quantize_transfer)
+        t_scale = 1.0
+        if quant > 0:
+            scan_pack = np.zeros((N, 4), np.int16)
+            np.clip(np.rint(pts * (1.0 / quant)), -32767, 32767,
+                    out=scan_pack[:npts, :3], casting="unsafe")
+            t_scale = max(float(np.max(np.abs(traw))), 1e-12) / 32767.0
+            np.clip(np.rint(traw * (1.0 / t_scale)), -32767, 32767,
+                    out=scan_pack[:npts, 3], casting="unsafe")
+        else:
+            scan_pack = np.zeros((N, 4), np.float32)
+            scan_pack[:npts, :3] = pts
+            scan_pack[:npts, 3] = traw
 
         imu_pack = np.zeros((K, 8), np.float32)
         for i, (s, a, g) in enumerate(batch):
@@ -194,6 +204,7 @@ class Localizer:
         imu_pack[0, 7] = npts
         imu_pack[1, 7] = len(batch)
         imu_pack[2, 7] = epoch_shift
+        imu_pack[3, 7] = t_scale
 
         self.telemetry.scan_begin()
         self.state, out = self.scan_step(

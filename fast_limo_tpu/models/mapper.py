@@ -7,24 +7,27 @@ entire lookup is ONE wide-row gather and the entire insert is ONE gather +
 ONE scatter:
 
 * groups of ``E = 8`` entries share one hash slot ("group");
-* each group is a single fused f32 row of width ``W = 4E + 4·E·B``::
+* each group is a single fused f32 row of E contiguous ENTRY blocks of
+  width ``EW = 4 + 4B`` (so ``W = E·EW``)::
 
-      [ meta: E×4 = (vx,vy,vz as exact f32 values, count f32) | points: E×B×4 ]
+      [ entry0: (vx,vy,vz as exact f32, count f32, B×4 points) | entry1 … ]
 
-  (points padded to 4 lanes) so every write — a point, or an entry's
-  coords+count — is one row-of-4 in the flat ``(G·W/4, 4)`` view, letting
-  the whole insert collapse into a single concatenated scatter.
+  so a kNN lookup gathers whole group rows, and an insert writes ONE
+  entry-block row per distinct voxel in the batch — meta and all merged
+  bucket points together — in the flat ``(G·E, EW)`` view: a single scatter
+  with one index per input point (only voxel-run leaders actually land).
 
 Why: on TPU, gather/scatter cost is per *operation* + per *row* and nearly
-independent of row width (measured v5e: ~0.7 ms fixed + ~6 ns/row for
-16 B–512 B rows — `tools/bench_gather2.py`).  The previous design (linear
-probing, separate meta/points tables) issued 4 probe-round meta gathers plus
-a points gather per kNN batch; the fused-group layout issues exactly one,
-cutting the dominant scan-step stage ~3.5×.  Collision handling moves from
-probe chains to the E-way group: a voxel lives in exactly one group, and a
-group overflowing E distinct voxels simply rejects newcomers (analogous to
-the octree's bounded leaves, Octree.hpp:399-405; with default sizing the
-overflow probability per voxel is <1e-4).
+independent of row width (measured v5e: ~0.7 ms fixed + ~18 ns/row gather /
+~50 ns/row scatter for 16 B–896 B rows — `tools/bench_gather2.py`,
+`tools/bench_scatter.py`).  The previous designs (linear probing with
+separate meta/points tables; then meta-major fused rows with per-point
+rows-of-4 scatter) issued more gathers and 2N scatter rows; this layout
+issues exactly one gather and N scatter rows.  Collision handling is the
+E-way group: a voxel lives in exactly one group, and a group overflowing E
+distinct voxels simply rejects newcomers (analogous to the octree's bounded
+leaves, Octree.hpp:399-405; with default sizing the overflow probability
+per voxel is <1e-4).
 
 The per-entry capacity B mirrors the octree's leaf-level downsampling rule —
 a full bucket rejects new points (Octree.hpp:399-405) — and the voxel edge
@@ -62,11 +65,13 @@ _CORNER_COMBOS = jnp.array(
     dtype=jnp.int32,
 )  # (8, 3)
 
-_PTS0 = 4 * E  # first column of the points block (also the meta block width)
+def _entry_width(bucket: int) -> int:
+    """Entry block: [vx, vy, vz, count | B points padded to 4 lanes]."""
+    return 4 + 4 * bucket
 
 
 def _row_width(bucket: int) -> int:
-    return _PTS0 + 4 * E * bucket
+    return E * _entry_width(bucket)
 
 
 class VoxelHashMap(NamedTuple):
@@ -80,7 +85,7 @@ class VoxelHashMap(NamedTuple):
 
     @property
     def bucket(self):
-        return (self.table.shape[1] - _PTS0) // (4 * E)
+        return (self.table.shape[1] // E - 4) // 4
 
     @property
     def capacity(self):
@@ -88,22 +93,24 @@ class VoxelHashMap(NamedTuple):
         return self.groups * E
 
     @property
+    def _entries(self):
+        """(G·E, EW) flat entry-block view."""
+        return self.table.reshape(self.groups * E, _entry_width(self.bucket))
+
+    @property
     def coords(self):
         """(G·E, 3) int32 voxel coords per entry (garbage where count==0)."""
-        meta = self.table[:, :_PTS0].reshape(self.groups * E, 4)
-        return meta[:, :3].astype(jnp.int32)
+        return self._entries[:, :3].astype(jnp.int32)
 
     @property
     def counts(self):
         """(G·E,) int32 stored-point count per entry (0 = free)."""
-        meta = self.table[:, :_PTS0].reshape(self.groups * E, 4)
-        return meta[:, 3].astype(jnp.int32)
+        return self._entries[:, 3].astype(jnp.int32)
 
     @property
     def points(self):
         """(G·E, B, 3) stored points per entry."""
-        p = self.table[:, _PTS0:].reshape(self.groups * E, self.bucket, 4)
-        return p[:, :, :3]
+        return self._entries[:, 4:].reshape(self.groups * E, self.bucket, 4)[:, :, :3]
 
     @property
     def meta(self):
@@ -142,22 +149,21 @@ def _shard_split(h_full, groups, num_shards, shard_index):
     return owner == shard_index, local
 
 
-def _group_meta(m: VoxelHashMap, g, nc):
-    """Gather group meta and resolve ``nc`` against the E entries.
+def _group_rows(m: VoxelHashMap, g, nc):
+    """Gather full group rows and resolve ``nc`` against the E entries.
 
     g (...,) group ids, nc (...,3) voxel coords →
-    (match (...,E) bool, counts (...,E) f32) from ONE row gather.
-
-    Gathers FULL rows and slices in-register: a `table[g, :_PTS0]`
-    mixed-index gather lowers to a pathological per-element path (~10×
-    slower, measured on v5e — tools/bench_insert.py).
+    (entries (...,E,EW), match (...,E) bool, counts (...,E) f32) from ONE
+    row gather.  Gathers FULL rows and slices in-register: a mixed-index
+    sub-row gather lowers to a pathological per-element path (~10× slower,
+    measured on v5e — tools/bench_insert.py).
     """
-    meta = m.table[g][..., :_PTS0].reshape(*g.shape, E, 4)
-    coords = meta[..., :3]                                   # (...,E,3) f32 values
-    counts = meta[..., 3]                                    # (...,E) f32
+    ent = m.table[g].reshape(*g.shape, E, _entry_width(m.bucket))
+    coords = ent[..., :3]                                    # (...,E,3) f32 values
+    counts = ent[..., 3]                                     # (...,E) f32
     match = (counts > 0) & jnp.all(
         coords == nc[..., None, :].astype(jnp.float32), axis=-1)
-    return match, counts
+    return ent, match, counts
 
 
 # ---------------------------------------------------------------------------
@@ -180,14 +186,15 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 0,
            num_shards: int = 1, shard_index=0) -> VoxelHashMap:
     """Insert a masked batch of world-frame points (Mapper::add / Octree::update).
 
-    One meta gather + ONE fused scatter: points of the same voxel are grouped
-    by a sort, matched against their hash group's E entries, and new voxels
-    are assigned distinct free entries by rank election.  Each placed point
-    contributes a row-of-4 write; each voxel's last point writes the entry's
-    meta row (coords + final count) — all concatenated into a single scatter.
-    A group whose E entries are all taken rejects further voxels (see module
-    docstring); a full entry rejects further points (octree leaf
-    downsampling, Octree.hpp:399-405).
+    One full-row gather + ONE entry-block scatter: points of the same voxel
+    are grouped by a sort, matched against their hash group's E entries, and
+    new voxels are assigned distinct free entries by rank election.  Each
+    voxel run's LEADER (first point) writes the whole entry block — coords,
+    final count, and the merged bucket (existing points ∪ the run's new
+    points, capacity-capped) — so the scatter has exactly N indices, one per
+    input point, with only leaders landing.  A group whose E entries are all
+    taken rejects further voxels (see module docstring); a full entry
+    rejects further points (octree leaf downsampling, Octree.hpp:399-405).
 
     ``probes`` is accepted for API compatibility and ignored (the fused
     layout has no probe chains).
@@ -195,7 +202,7 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 0,
     del probes
     G = m.groups
     B = m.bucket
-    W = m.table.shape[1]
+    EW = _entry_width(B)
     N = pts.shape[0]
     idxs = jnp.arange(N)
 
@@ -228,25 +235,22 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 0,
     g_s = key_g[order]
 
     # ---- resolve each point's voxel against its group (pre-insert state) ----
-    match_e, counts_e = _group_meta(m, g, vc)                # (N,E)
+    ent, match_e, counts_e = _group_rows(m, g, vc)           # (N,E,EW),(N,E)
     has_match = jnp.any(match_e, axis=-1)
     entry_m = jnp.argmax(match_e, axis=-1).astype(jnp.int32)
     base_m = jnp.sum(jnp.where(match_e, counts_e, 0.0), axis=-1).astype(jnp.int32)
     free_e = counts_e == 0                                   # (N,E)
 
-    # rank of each point within its voxel run (0,1,2,…) + run length
+    # voxel-run structure: same_voxel marks continuation points
     same_voxel = jnp.concatenate(
         [jnp.array([False]),
          jnp.all(vc[1:] == vc[:-1], axis=-1) & valid[1:] & valid[:-1]])
-    seg_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(~same_voxel, idxs, 0))
-    rank = (idxs - seg_start).astype(jnp.int32)
-    is_last = jnp.concatenate([~same_voxel[1:], jnp.array([True])])
+    is_leader = valid & ~same_voxel
 
     # rank of each NEW voxel among the new voxels of its group: segmented
-    # count of voxel-run starts that found no existing entry.
+    # count of voxel-run leaders that found no existing entry.
     new_group = jnp.concatenate([jnp.array([True]), g_s[1:] != g_s[:-1]])
-    is_new_start = valid & ~same_voxel & ~has_match
+    is_new_start = is_leader & ~has_match
     r_new = _seg_sum(is_new_start, new_group) - 1            # valid where new
 
     # ---- free-entry election: new voxel with group-rank r takes the
@@ -258,37 +262,56 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 0,
 
     resolved = valid & (has_match | assigned)
     entry = jnp.where(has_match, entry_m, entry_n)
-    base = jnp.where(has_match, base_m, 0)
-    pos = base + rank
-    place = resolved & (pos < B)
+    base = jnp.where(has_match, jnp.minimum(base_m, B), 0)   # existing fill
 
-    # ---- ONE fused scatter of rows-of-4 ----
-    # point rows: [x, y, z, 0] at the entry's (base+rank) slot
-    rows4 = W // 4
-    OOB = G * rows4
-    prow = g * rows4 + E + entry * B + pos
-    pvals = jnp.concatenate([pts, jnp.zeros((N, 1), jnp.float32)], axis=1)
+    # ---- leader-row merge: existing bucket ∪ this run's new points ----
+    # run continuation flags: cont[:, j] ⇔ point i+j belongs to i's run
+    # (prefix-AND of shifted same_voxel; j < B because the bucket caps fills)
+    pts4 = jnp.concatenate([pts, jnp.zeros((N, 1), jnp.float32)], axis=1)
+    shifted = []    # shifted[j][i] = pts4[i+j]
+    conts = []
+    cont = jnp.ones(N, bool)
+    for j in range(B):
+        if j > 0:
+            sv_j = jnp.concatenate(
+                [same_voxel[j:], jnp.zeros(j, bool)])        # same_voxel[i+j]
+            cont = cont & sv_j
+        shifted.append(jnp.concatenate(
+            [pts4[j:], jnp.zeros((j, 4), jnp.float32)], axis=0))
+        conts.append(cont)
+    new_stack = jnp.stack(shifted, axis=1)                   # (N,B,4)
+    new_ok = jnp.stack(conts, axis=1)                        # (N,B)
 
-    # meta rows: [vx, vy, vz, final_count] written by the voxel's LAST
-    # point — final_count = min(B, base + run_length); also refreshes
-    # existing entries (coords rewrite is idempotent).  Coords are stored as
-    # exact f32 VALUES, never bitcast: XLA does not preserve int bit
-    # patterns through f32 ops (denormal flush / NaN canonicalization —
-    # measured on both CPU and TPU backends).
-    writer = resolved & is_last
-    crow = g * rows4 + entry
-    final_count = jnp.minimum(base + rank + 1, B).astype(jnp.float32)
-    vc_f = vc.astype(jnp.float32)
-    cvals = jnp.concatenate([vc_f, final_count[:, None]], axis=1)
+    # slot s takes new point (s - base) when that run point exists
+    s_idx = jnp.arange(B, dtype=jnp.int32)
+    j_of_s = s_idx[None, :, None] - base[:, None, None]      # (N,B,1) offsets
+    sel_nj = (j_of_s == s_idx[None, None, :]) & new_ok[:, None, :]  # (N,B,B)
+    use_new = jnp.any(sel_nj, axis=-1)                       # (N,B)
+    new_part = jnp.einsum("nsj,njc->nsc", sel_nj.astype(jnp.float32), new_stack)
 
-    all_rows = jnp.concatenate([
-        jnp.where(place, prow, OOB), jnp.where(writer, crow, OOB)])
-    all_vals = jnp.concatenate([pvals, cvals])
-    flat4 = m.table.reshape(G * rows4, 4)
-    flat4 = flat4.at[all_rows].set(all_vals, mode="drop")
+    # existing bucket of the matched entry (zero rows when no match)
+    exist = jnp.einsum("ne,nec->nc", match_e.astype(jnp.float32),
+                       ent[..., 4:]).reshape(N, B, 4)
+    merged = jnp.where(use_new[..., None], new_part, exist)  # (N,B,4)
 
-    total = jnp.sum(place.astype(jnp.int32))
-    return VoxelHashMap(flat4.reshape(G, W), m.num_points + total, m.last_time)
+    n_placed = jnp.sum(use_new, axis=-1).astype(jnp.int32)   # new points stored
+    final_count = (base + n_placed).astype(jnp.float32)
+
+    # ---- ONE entry-block scatter (leaders only; coords stored as exact f32
+    # VALUES, never bitcast: XLA does not preserve int bit patterns through
+    # f32 ops — denormal flush / NaN canonicalization, measured on both
+    # CPU and TPU backends) ----
+    writer = is_leader & resolved
+    erow = jnp.where(writer, g * E + entry, G * E)           # OOB drops
+    evals = jnp.concatenate(
+        [vc.astype(jnp.float32), final_count[:, None],
+         merged.reshape(N, 4 * B)], axis=1)                  # (N,EW)
+    flatE = m.table.reshape(G * E, EW)
+    flatE = flatE.at[erow].set(evals, mode="drop")
+
+    total = jnp.sum(jnp.where(writer, n_placed, 0))
+    return VoxelHashMap(flatE.reshape(G, E * EW), m.num_points + total,
+                        m.last_time)
 
 
 # ---------------------------------------------------------------------------
@@ -343,22 +366,30 @@ def gather_neighborhood(m: VoxelHashMap, queries, *, voxel_size: float,
         g = _hash(nc, G)
 
     V = nc.shape[1]
+    EW = _entry_width(B)
     rows = m.table[g]                                          # (N,V,W) — THE gather
-    meta = rows[..., :_PTS0].reshape(N, V, E, 4)
-    coords = meta[..., :3]                                     # f32 values
-    counts = meta[..., 3]                                      # (N,V,E) f32
+    ent = rows.reshape(N, V, E, EW)
+    # meta extraction via a PROJECTION MATMUL, not lane slicing: a strided
+    # ent[..., :4] read of the interleaved entry blocks forces a repack that
+    # costs ~3× the whole consumer on TPU (measured v5e); contracting the
+    # contiguous EW axis against a constant selector keeps every big-tensor
+    # access contiguous (and rides the MXU).
+    proj = jnp.zeros((EW, 4), jnp.float32).at[
+        jnp.arange(4), jnp.arange(4)].set(1.0)
+    meta4 = jnp.einsum("nvec,cm->nvem", ent, proj)             # (N,V,E,4)
+    coords = meta4[..., :3]                                    # f32 values
+    counts = meta4[..., 3]                                     # (N,V,E) f32
     sel = (counts > 0) & jnp.all(
         coords == nc[..., None, :].astype(jnp.float32), axis=-1)
     if owned is not None:
         sel = sel & owned[..., None]
 
     # one-hot entry selection (≤1 true per (query, voxel)) — contraction over
-    # E stays in-register; no second gather.
+    # the full contiguous EW axis; no second gather, no strided reads.
     sel_f = sel.astype(jnp.float32)
-    pts_all = rows[..., _PTS0:].reshape(N, V, E, B * 4)
-    cand = jnp.einsum("nve,nvec->nvc", sel_f, pts_all)
-    cand_pts = cand.reshape(N, V, B, 4)[..., :3]
-    cand_n = jnp.einsum("nve,nve->nv", sel_f, counts)
+    cand_full = jnp.einsum("nve,nvec->nvc", sel_f, ent)        # (N,V,EW)
+    cand_pts = cand_full[..., 4:].reshape(N, V, B, 4)[..., :3]
+    cand_n = cand_full[..., 3]
     cand_valid = (
         jnp.arange(B, dtype=jnp.float32)[None, None, :] < cand_n[..., None]
     )
@@ -401,18 +432,18 @@ def evict_far(m: VoxelHashMap, center, radius: float, *, voxel_size: float) -> V
     entries (a zero count IS the free state; coords/points become dead).
     """
     G = m.groups
-    meta = m.table[:, :_PTS0].reshape(G, E, 4)
-    coords = meta[..., :3]                                     # f32 values
-    counts = meta[..., 3]                                      # (G,E)
+    EW = _entry_width(m.bucket)
+    ent = m.table.reshape(G * E, EW)
+    coords = ent[:, :3]                                        # f32 values
+    counts = ent[:, 3]                                         # (G·E,)
     cvox = jnp.asarray(center) / voxel_size
     d2 = jnp.sum((coords + 0.5 - cvox) ** 2, axis=-1)
     keep = (d2 * (voxel_size * voxel_size)) <= radius * radius
     occupied = counts > 0
     removed = jnp.sum(jnp.where(occupied & ~keep, counts, 0.0)).astype(jnp.int32)
-    new_meta = meta.at[..., 3].set(jnp.where(keep, counts, 0.0))
-    table = jnp.concatenate(
-        [new_meta.reshape(G, _PTS0), m.table[:, _PTS0:]], axis=1)
-    return m._replace(table=table, num_points=m.num_points - removed)
+    ent = ent.at[:, 3].set(jnp.where(keep, counts, 0.0))
+    return m._replace(table=ent.reshape(G, E * EW),
+                      num_points=m.num_points - removed)
 
 
 def knn(m: VoxelHashMap, queries, *, voxel_size: float, k: int, probes: int = 0,

@@ -276,10 +276,14 @@ def build_scan_step_packed(cfg: Config, *, donate: bool = True):
     packed into exactly TWO:
 
     * ``scan_pack`` (N,4) f32 — ``[x, y, z, t_raw]`` rows, zero-padded;
+      with ``cfg.tpu.quantize_transfer > 0`` it is (N,4) int16 instead:
+      xyz in units of ``quantize_transfer`` metres and t_raw in units of
+      ``aux[3]`` (a per-scan scale chosen by the host) — half the payload;
     * ``imu_pack``  (K,8) f32 — ``[acc(3), gyro(3), stamp, aux]`` rows, where
       the ``aux`` column carries the scalars: ``aux[0]=n_pts``,
-      ``aux[1]=n_imu``, ``aux[2]=epoch_shift`` (counts are exact in f32 —
-      they are bounded by the static shapes, far below 2²⁴).
+      ``aux[1]=n_imu``, ``aux[2]=epoch_shift``, ``aux[3]=t_raw scale``
+      (counts are exact in f32 — they are bounded by the static shapes,
+      far below 2²⁴).
 
     The unpack runs inside the jit (free: slices of resident buffers).
     Semantics are identical to ``build_scan_step`` — see
@@ -288,14 +292,22 @@ def build_scan_step_packed(cfg: Config, *, donate: bool = True):
     inner = build_scan_step(cfg, donate=False, jit=False)
     N = cfg.tpu.max_points_per_scan
     K = cfg.tpu.imu_batch
+    assert K >= 4, "imu_batch must be >= 4 (aux column carries 4 scalars)"
+    quant = float(cfg.tpu.quantize_transfer)
 
     def packed_step(s: LIOState, scan_pack, imu_pack):
         n_pts = imu_pack[0, 7].astype(jnp.int32)
         n_imu = imu_pack[1, 7].astype(jnp.int32)
         epoch_shift = imu_pack[2, 7]
+        if quant > 0:
+            points = scan_pack[:, :3].astype(jnp.float32) * quant
+            t_raw = scan_pack[:, 3].astype(jnp.float32) * imu_pack[3, 7]
+        else:
+            points = scan_pack[:, :3]
+            t_raw = scan_pack[:, 3]
         b = ScanBatch(
-            points=scan_pack[:, :3],
-            t_raw=scan_pack[:, 3],
+            points=points,
+            t_raw=t_raw,
             valid=jnp.arange(N) < n_pts,
             stamp=jnp.zeros((), jnp.float32),
             epoch_shift=epoch_shift,

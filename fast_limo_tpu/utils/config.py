@@ -113,6 +113,14 @@ class TPUConfig:
                                           # coverage voxel/2, 3.4× less gather)
     deskew_frames: int = 128              # max propagated states per scan window
     imu_batch: int = 64                   # max IMU samples integrated per scan step
+    quantize_transfer: float = 0.0        # >0: ship scan points host→device as
+                                          # int16 with this resolution (m/LSB);
+                                          # halves the per-scan payload on
+                                          # tunneled devices. 0.004 → ±131 m
+                                          # range, ≤2 mm rounding (below lidar
+                                          # noise). t_raw is scaled per scan;
+                                          # requires epoch-relative t_raw
+                                          # (always true through Localizer).
     dtype: str = "float32"
     filter_dtype: str = "float32"         # covariance algebra dtype
     mesh_axes: str = "map"                # device axis name for map sharding

@@ -22,10 +22,19 @@ def _make_batches(cfg, seed, n_scans):
     loc = Localizer(cfg)
     captured = []
     orig = loc.scan_step
+    N, K = cfg.tpu.max_points_per_scan, cfg.tpu.imu_batch
 
-    def capture(s, b):
-        captured.append(b)
-        return orig(s, b)
+    def capture(s, scan_pack, imu_pack):
+        # rebuild the logical ScanBatch from the packed transfer arrays
+        captured.append(pl.ScanBatch(
+            points=scan_pack[:, :3], t_raw=scan_pack[:, 3],
+            valid=jnp.arange(N) < imu_pack[0, 7].astype(jnp.int32),
+            stamp=jnp.zeros((), jnp.float32),
+            epoch_shift=imu_pack[2, 7],
+            imu_acc=imu_pack[:, 0:3], imu_gyro=imu_pack[:, 3:6],
+            imu_stamp=imu_pack[:, 6],
+            imu_valid=jnp.arange(K) < imu_pack[1, 7].astype(jnp.int32)))
+        return orig(s, scan_pack, imu_pack)
 
     loc.scan_step = capture
     stamps, acc, gyro = seq.imu_stream()

@@ -193,3 +193,14 @@ def test_packed_step_matches_unpacked(seq):
     for a, bb in zip(jax.tree_util.tree_leaves((s1, o1)),
                      jax.tree_util.tree_leaves((s2, o2))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
+
+def test_quantized_transfer_tracks(seq):
+    """int16 transfer quantization (4 mm) must not disturb tracking."""
+    cfg = small_cfg()
+    cfg.tpu.quantize_transfer = 0.004
+    loc = run_odometry(cfg, seq, 8)
+    est = loc.positions()
+    gt = seq.traj.pos(loc.stamps())
+    ate = synthetic.ate_rmse(est, gt)
+    assert ate < 0.08, f"quantized ATE {ate}"
