@@ -87,6 +87,10 @@ def kitti_like_cfg() -> Config:
     # verified on the synthetic benchmark — see tpu.knn_refresh docs)
     cfg.tpu.knn_refresh = "first"
     cfg.tpu.knn_neighborhood = 8
+    # int16 host→device scan payload (4 mm LSB — below lidar noise; ATE
+    # verified unchanged): halves the per-scan transfer on the tunnel
+    # (measured 66 → 98 scans/s on the tunneled v5e)
+    cfg.tpu.quantize_transfer = 0.004
     return cfg
 
 
@@ -95,7 +99,9 @@ def main():
     # (transport warmup; varies run to run).  Measure disjoint EPOCHS of the
     # stream and report the best sustained epoch — the steady-state
     # throughput — rather than one long window that averages the warmup in.
-    n_warm, n_epochs, epoch_len = 6, 4, 30
+    # epoch_len and n_warm are multiples of scan_chunk so chunk-dispatch
+    # boundaries carry the same lag at every mark (work per epoch is exact)
+    n_warm, n_epochs, epoch_len = 8, 4, 32
     n_meas = n_epochs * epoch_len
     n_scans = n_warm + n_meas
     seq = synthetic.SyntheticSequence(
@@ -120,6 +126,7 @@ def main():
                 marks.append(time.perf_counter())
             loc.update_pointcloud(pts, traw, st_)
             si += 1
+    loc.flush()   # dispatch any covered-but-unchunked tail scans
     jax.block_until_ready(loc.state)
     marks.append(time.perf_counter())
 

@@ -21,7 +21,9 @@ def _build(args, tweak=None):
     cfg = Config.from_yaml(args.config) if args.config else Config()
     if tweak is not None:
         tweak(cfg)  # must run before SLAM(): Localizer snapshots flags at init
-    if args.no_loop:
+    if args.chunk and args.chunk > 1:
+        cfg.tpu.scan_chunk = args.chunk   # chunked replay is odometry-only
+    if args.no_loop or cfg.tpu.scan_chunk > 1:
         return cfg, SLAM(cfg, enable_loop_closure=False)
     return cfg, SLAM(cfg)
 
@@ -52,6 +54,7 @@ def cmd_synthetic(args):
             st, pts, traw = scans[si]
             slam.update_pointcloud(pts, traw, st)
             si += 1
+    slam.flush()
 
     est = slam.positions()
     gt = seq.traj.pos(slam.stamps())
@@ -101,6 +104,9 @@ def main(argv=None):
                         help="session prefix to save")
     common.add_argument("--no-loop", action="store_true",
                         default=argparse.SUPPRESS, help="odometry only")
+    common.add_argument("--chunk", type=int, default=argparse.SUPPRESS,
+                        help="scans per jitted dispatch (replay throughput "
+                             "mode; >1 implies --no-loop)")
 
     p = argparse.ArgumentParser(prog="fast_limo_tpu", parents=[common])
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -119,7 +125,8 @@ def main(argv=None):
 
     args = p.parse_args(argv)
     for dest, dflt in (("config", None), ("out", None),
-                       ("save_session", None), ("no_loop", False)):
+                       ("save_session", None), ("no_loop", False),
+                       ("chunk", 0)):
         if not hasattr(args, dest):
             setattr(args, dest, dflt)
     return args.fn(args)

@@ -90,13 +90,18 @@ class KittiDrive:
 def run_drive(localizer, drive: KittiDrive, n_scans: int = None) -> None:
     """Feed a drive through a Localizer/SLAM instance in timestamp order."""
     done = 0
-    for kind, i in drive.stream():
-        if kind == "imu":
-            stamp, acc, gyro = drive.imu(i)
-            localizer.update_imu(stamp, acc, gyro)
-        else:
-            stamp, xyz, t_rel = drive.scan(i)
-            localizer.update_pointcloud(xyz, t_rel, stamp)
-            done += 1
-            if n_scans is not None and done >= n_scans:
-                return
+    try:
+        for kind, i in drive.stream():
+            if kind == "imu":
+                stamp, acc, gyro = drive.imu(i)
+                localizer.update_imu(stamp, acc, gyro)
+            else:
+                stamp, xyz, t_rel = drive.scan(i)
+                localizer.update_pointcloud(xyz, t_rel, stamp)
+                done += 1
+                if n_scans is not None and done >= n_scans:
+                    return
+    finally:
+        flush = getattr(localizer, "flush", None)
+        if flush is not None:
+            flush()   # end-of-stream partial chunk (chunked replay mode)

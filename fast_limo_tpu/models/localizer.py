@@ -42,7 +42,11 @@ class Localizer:
         self.cfg = cfg
         self.sync_timing = sync_timing     # block per scan for exact ms/scan
         self.telemetry = Telemetry()
-        self.scan_step = pl.build_scan_step_packed(cfg)
+        self.chunk = max(1, int(cfg.tpu.scan_chunk))
+        if self.chunk > 1:
+            self.scan_step = pl.build_scan_chunk_step(cfg)
+        else:
+            self.scan_step = pl.build_scan_step_packed(cfg)
         self.state: Optional[pl.LIOState] = None          # device state (after calib)
         self.epoch: Optional[float] = None                # absolute epoch (f64)
 
@@ -62,8 +66,9 @@ class Localizer:
         self.init_bg = np.asarray(cfg.intrinsics.gyro_bias, float)
         self.init_ba = np.asarray(cfg.intrinsics.accel_bias, float)
 
-        self._raw_outputs: List[tuple] = []               # (epoch, ScanOutput) device-side
+        self._raw_outputs: List[tuple] = []               # (epoch|tuple, ScanOutput) device-side
         self._materialized: List[dict] = []               # lazily converted
+        self._materialized_entries = 0                    # raw entries converted
         self.last_output = None                           # last ScanOutput (device)
         self._structure_checked = False
         self._scans_since_evict = 0
@@ -145,16 +150,34 @@ class Localizer:
             cover = scan.last_pt_time  # need an IMU sample at/after scan end
             if self._newest_imu_stamp < cover:
                 return
+            if self.chunk > 1:
+                # chunked mode: dispatch only once a FULL chunk is covered
+                # (flush() handles end-of-stream partials)
+                if len(self._scan_queue) < self.chunk:
+                    return
+                if self._newest_imu_stamp < self._scan_queue[self.chunk - 1].last_pt_time:
+                    return
+                scans = [self._scan_queue.popleft() for _ in range(self.chunk)]
+                self._dispatch_chunk(scans)
+                continue
             self._scan_queue.popleft()
             self._dispatch(scan)
 
-    def _dispatch(self, scan: _PendingScan) -> None:
-        cfg = self.cfg
-        if self.state is None:
-            self._init_device_state(scan.stamp)
-        elif self.epoch is None:   # loaded session with a fresh clock
-            self._anchor_epoch(scan.stamp)
+    def flush(self) -> None:
+        """Dispatch any covered-but-unchunked scans (end of stream)."""
+        while self._scan_queue and self.chunk > 1:
+            scans = []
+            while (self._scan_queue and len(scans) < self.chunk
+                   and self._newest_imu_stamp >= self._scan_queue[0].last_pt_time):
+                scans.append(self._scan_queue.popleft())
+            if not scans:
+                return
+            self._dispatch_chunk(scans)
 
+    def _pack_scan(self, scan: _PendingScan):
+        """(scan_pack (N,4), imu_pack (K,8)) for one scan; advances queues
+        and the epoch (see build_scan_step_packed for the layout)."""
+        cfg = self.cfg
         # IMU batch: every pending sample up to (incl.) the first one ≥ scan end
         batch = []
         while self._imu_queue:
@@ -180,8 +203,6 @@ class Localizer:
         epoch_shift = 0.0 if self.epoch is None else new_epoch - self.epoch
         self.epoch = new_epoch
 
-        # exactly TWO host→device arrays per scan (each separate transfer
-        # costs a fixed RPC on a tunneled device — see build_scan_step_packed)
         quant = float(cfg.tpu.quantize_transfer)
         t_scale = 1.0
         if quant > 0:
@@ -205,11 +226,23 @@ class Localizer:
         imu_pack[1, 7] = len(batch)
         imu_pack[2, 7] = epoch_shift
         imu_pack[3, 7] = t_scale
+        imu_pack[4, 7] = 1.0    # active (only read by the chunked step)
+        return scan_pack, imu_pack
+
+    def _dispatch(self, scan: _PendingScan) -> None:
+        if self.state is None:
+            self._init_device_state(scan.stamp)
+        elif self.epoch is None:   # loaded session with a fresh clock
+            self._anchor_epoch(scan.stamp)
+
+        # exactly TWO host→device arrays per scan (each separate transfer
+        # costs a fixed RPC on a tunneled device — see build_scan_step_packed)
+        scan_pack, imu_pack = self._pack_scan(scan)
 
         self.telemetry.scan_begin()
         self.state, out = self.scan_step(
             self.state, jnp.asarray(scan_pack), jnp.asarray(imu_pack))
-        self._maybe_evict(out)
+        self._maybe_evict(out.pos)
         if self.sync_timing:
             import jax
             jax.block_until_ready(out)
@@ -218,12 +251,48 @@ class Localizer:
         # defer device→host transfer: forcing out.* here would sync the
         # accelerator every scan (hundreds of ms over a tunneled TPU)
         self._raw_outputs.append((self.epoch, out))
+        self._bound_retention()
+
+    def _dispatch_chunk(self, scans: List[_PendingScan]) -> None:
+        """One jitted dispatch covering len(scans) ≤ chunk scans."""
+        cfg = self.cfg
+        if self.state is None:
+            self._init_device_state(scans[0].stamp)
+        elif self.epoch is None:
+            self._anchor_epoch(scans[0].stamp)
+
+        C = self.chunk
+        N = cfg.tpu.max_points_per_scan
+        K = cfg.tpu.imu_batch
+        sdtype = np.int16 if cfg.tpu.quantize_transfer > 0 else np.float32
+        scan_packs = np.zeros((C, N, 4), sdtype)
+        imu_packs = np.zeros((C, K, 8), np.float32)
+        epochs = []
+        for i, scan in enumerate(scans):
+            scan_packs[i], imu_packs[i] = self._pack_scan(scan)
+            epochs.append(self.epoch)
+
+        self.telemetry.scan_begin()
+        self.state, out = self.scan_step(
+            self.state, jnp.asarray(scan_packs), jnp.asarray(imu_packs))
+        self._maybe_evict(out.pos[len(scans) - 1])
+        if self.sync_timing:
+            import jax
+            jax.block_until_ready(out)
+        for scan in scans:
+            self.telemetry.scan_end(scan.stamp)
+        self.last_output = out
+        # chunked entry: (tuple of epochs, stacked outputs)
+        self._raw_outputs.append((tuple(epochs), out))
+        self._bound_retention()
+
+    def _bound_retention(self) -> None:
         # bound device-side retention: scans further back than the window are
         # long computed, so materializing them is a pure transfer, no stall
-        if len(self._raw_outputs) - len(self._materialized) > 64:
+        if len(self._raw_outputs) - self._materialized_entries > 64:
             self._materialize_upto(len(self._raw_outputs) - 32)
 
-    def _maybe_evict(self, out) -> None:
+    def _maybe_evict(self, pos) -> None:
         """Rolling-origin map eviction for long sequences (UTBM-scale runs).
 
         When the hash table fills past ``evict_occupancy``, voxels beyond
@@ -239,7 +308,7 @@ class Localizer:
         if int(self.state.map.num_points) < self.evict_occupancy * cap:
             return
         from fast_limo_tpu.models import mapper
-        new_map = mapper.evict_far(self.state.map, out.pos, self.evict_radius,
+        new_map = mapper.evict_far(self.state.map, pos, self.evict_radius,
                                    voxel_size=self.cfg.map_voxel_size)
         self.state = self.state._replace(map=new_map)
 
@@ -266,7 +335,7 @@ class Localizer:
 
     # ------------------------------------------------------------------ query
     def _materialize_upto(self, n: int) -> None:
-        start = len(self._materialized)
+        start = self._materialized_entries
         if start >= n:
             return
         # ONE batched device→host fetch for the whole backlog: per-field
@@ -279,17 +348,29 @@ class Localizer:
             [(o.scan_stamp, o.pos, o.quat, o.vel, o.n_iters, o.n_pc2match)
              for (_, o) in pend])
         for (epoch, _), (sstamp, pos, quat, vel, n_it, n_pc) in zip(pend, fetched):
-            self._materialized.append({
-                "stamp": epoch + float(sstamp),
-                "pos": np.asarray(pos),
-                "quat": np.asarray(quat),
-                "vel": np.asarray(vel),
-                "n_iters": int(n_it),
-                "n_pc2match": int(n_pc),
-            })
+            if isinstance(epoch, tuple):   # chunked entry: one dict per element
+                for i, ep in enumerate(epoch):
+                    self._materialized.append({
+                        "stamp": ep + float(sstamp[i]),
+                        "pos": np.asarray(pos[i]),
+                        "quat": np.asarray(quat[i]),
+                        "vel": np.asarray(vel[i]),
+                        "n_iters": int(n_it[i]),
+                        "n_pc2match": int(n_pc[i]),
+                    })
+            else:
+                self._materialized.append({
+                    "stamp": epoch + float(sstamp),
+                    "pos": np.asarray(pos),
+                    "quat": np.asarray(quat),
+                    "vel": np.asarray(vel),
+                    "n_iters": int(n_it),
+                    "n_pc2match": int(n_pc),
+                })
         for idx in range(start, n):
             epoch, _ = self._raw_outputs[idx]
             self._raw_outputs[idx] = (epoch, None)  # release device arrays
+        self._materialized_entries = n
 
     @property
     def trajectory(self) -> List[dict]:

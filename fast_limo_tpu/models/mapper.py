@@ -309,7 +309,8 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 0,
     flatE = m.table.reshape(G * E, EW)
     flatE = flatE.at[erow].set(evals, mode="drop")
 
-    total = jnp.sum(jnp.where(writer, n_placed, 0))
+    # dtype pinned: under x64 jnp.sum would promote the int32 count to int64
+    total = jnp.sum(jnp.where(writer, n_placed, 0), dtype=jnp.int32)
     return VoxelHashMap(flatE.reshape(G, E * EW), m.num_points + total,
                         m.last_time)
 

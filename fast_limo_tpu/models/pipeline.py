@@ -321,6 +321,75 @@ def build_scan_step_packed(cfg: Config, *, donate: bool = True):
     return jax.jit(packed_step, donate_argnums=(0,) if donate else ())
 
 
+def build_scan_chunk_step(cfg: Config, *, donate: bool = True):
+    """Chunked streaming entry point: C scans per jitted dispatch.
+
+    On a tunneled/remote accelerator every dispatch pays a fixed round-trip
+    cost on top of device compute; batching ``cfg.tpu.scan_chunk`` scans into
+    ONE program amortizes it C-fold at the price of C scan periods of
+    latency — an offline/replay-mode knob (real-time deployments keep C=1).
+
+    Inputs are the packed per-scan arrays stacked on a leading chunk axis:
+    ``scan_packs (C,N,4)``, ``imu_packs (C,K,8)`` (layout of
+    `build_scan_step_packed`), plus one extra aux scalar ``imu_pack[4,7] =
+    active`` — inactive padding elements leave the carried state EXACTLY
+    unchanged (end-of-stream flush dispatches a partial chunk).
+
+    Returns ``(LIOState', ScanOutput)`` with every output leaf carrying the
+    leading chunk axis.  Semantics per element are identical to
+    `build_scan_step_packed` — see tests/test_pipeline.py.
+    """
+    inner = build_scan_step(cfg, donate=False, jit=False)
+    N = cfg.tpu.max_points_per_scan
+    K = cfg.tpu.imu_batch
+    assert K >= 5, "imu_batch must be >= 5 (aux column carries 5 scalars)"
+    quant = float(cfg.tpu.quantize_transfer)
+
+    def element(s: LIOState, scan_pack, imu_pack):
+        n_pts = imu_pack[0, 7].astype(jnp.int32)
+        n_imu = imu_pack[1, 7].astype(jnp.int32)
+        epoch_shift = imu_pack[2, 7]
+        active = imu_pack[4, 7] > 0
+        if quant > 0:
+            points = scan_pack[:, :3].astype(jnp.float32) * quant
+            t_raw = scan_pack[:, 3].astype(jnp.float32) * imu_pack[3, 7]
+        else:
+            points = scan_pack[:, :3]
+            t_raw = scan_pack[:, 3]
+        b = ScanBatch(
+            points=points,
+            t_raw=t_raw,
+            valid=jnp.arange(N) < n_pts,
+            stamp=jnp.zeros((), jnp.float32),
+            epoch_shift=epoch_shift,
+            imu_acc=imu_pack[:, 0:3],
+            imu_gyro=imu_pack[:, 3:6],
+            imu_stamp=imu_pack[:, 6],
+            imu_valid=jnp.arange(K) < n_imu,
+        )
+        s2, out = inner(s, b)
+        # padding elements are a strict no-op on the carry
+        s2 = jax.tree_util.tree_map(
+            lambda a, b_: jnp.where(active, a, b_), s2, s)
+        out = out._replace(
+            n_pc2match=jnp.where(active, out.n_pc2match, 0),
+            final_valid=out.final_valid & active,
+        )
+        return s2, out
+
+    def chunk_step(s: LIOState, scan_packs, imu_packs):
+        # unrolled: a rolled lax.scan carry blocks in-place buffer reuse of
+        # the map table and defeats cross-element fusion (measured ~2× the
+        # per-scan device time of the single step on v5e); unrolling keeps
+        # the one-program-per-chunk dispatch while compiling each element
+        # as well as the standalone step
+        return jax.lax.scan(
+            lambda c, packs: element(c, packs[0], packs[1]),
+            s, (scan_packs, imu_packs), unroll=True)
+
+    return jax.jit(chunk_step, donate_argnums=(0,) if donate else ())
+
+
 def build_imu_step(cfg: Config):
     """Single-sample streaming predict for IMU-rate odometry output.
 

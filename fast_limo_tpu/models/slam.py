@@ -70,6 +70,11 @@ class SLAM:
                  enable_loop_closure: bool = True):
         self.cfg = cfg
         self.loop_cfg = loop_cfg or LoopConfig()
+        if enable_loop_closure and cfg.tpu.scan_chunk > 1:
+            # keyframe capture reads per-scan clouds off last_output; the
+            # chunked replay path stacks outputs and is odometry-only
+            raise ValueError("tpu.scan_chunk > 1 is an odometry-replay knob; "
+                             "use scan_chunk=1 with loop closure")
         self.loc = Localizer(cfg)
         self.enable_loop = enable_loop_closure
         self.keyframes: List[Keyframe] = []
@@ -89,6 +94,11 @@ class SLAM:
 
     def update_pointcloud(self, points, t_raw, stamp):
         self.loc.update_pointcloud(points, t_raw, stamp)
+        self._after_dispatch()
+
+    def flush(self):
+        """End-of-stream: dispatch any covered partial chunk (chunked replay)."""
+        self.loc.flush()
         self._after_dispatch()
 
     def update_gps(self, stamp, pos, weight: Optional[float] = None):

@@ -121,6 +121,12 @@ class TPUConfig:
                                           # noise). t_raw is scaled per scan;
                                           # requires epoch-relative t_raw
                                           # (always true through Localizer).
+    scan_chunk: int = 1                   # scans batched per jitted dispatch
+                                          # (>1: offline/replay throughput mode —
+                                          # amortizes the fixed per-dispatch cost
+                                          # of tunneled/remote accelerators at
+                                          # the price of chunk·scan_period
+                                          # latency; real-time keeps 1)
     dtype: str = "float32"
     filter_dtype: str = "float32"         # covariance algebra dtype
     mesh_axes: str = "map"                # device axis name for map sharding

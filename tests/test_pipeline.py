@@ -204,3 +204,44 @@ def test_quantized_transfer_tracks(seq):
     gt = seq.traj.pos(loc.stamps())
     ate = synthetic.ate_rmse(est, gt)
     assert ate < 0.08, f"quantized ATE {ate}"
+
+
+def test_chunked_dispatch_matches_single(seq):
+    """scan_chunk=4 replay must produce EXACTLY the chunk=1 trajectory
+    (padding elements are strict no-ops; flush() drains the tail)."""
+    n = 11  # not a chunk multiple → exercises the flush partial-chunk path
+
+    # seq.scan() consumes shared RNG state — snapshot the stream once and
+    # feed byte-identical arrays to both runs
+    stamps, acc, gyro = seq.imu_stream()
+    scans = [seq.scan(i) for i in range(n)]
+
+    def run(cfg):
+        loc = Localizer(cfg)
+        si = 0
+        for k in range(len(stamps)):
+            loc.update_imu(stamps[k], acc[k], gyro[k])
+            while si < n and scans[si][0] <= stamps[k]:
+                st, pts, traw = scans[si]
+                loc.update_pointcloud(pts, traw, st)
+                si += 1
+        loc.flush()
+        return loc
+
+    loc1 = run(small_cfg())
+    cfg4 = small_cfg()
+    cfg4.tpu.scan_chunk = 4
+    loc4 = run(cfg4)
+
+    t1, t4 = loc1.trajectory, loc4.trajectory
+    assert len(t4) == len(t1) == n
+    for a, b in zip(t1, t4):
+        assert a["stamp"] == b["stamp"]
+        np.testing.assert_array_equal(a["pos"], b["pos"])
+        np.testing.assert_array_equal(a["quat"], b["quat"])
+        assert a["n_pc2match"] == b["n_pc2match"]
+    # carried device state identical too
+    import jax
+    for x, y in zip(jax.tree_util.tree_leaves(loc1.state),
+                    jax.tree_util.tree_leaves(loc4.state)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
