@@ -181,22 +181,6 @@ def predict_scan(x: st.NavState, P, imu_stack, Q):
 # iterated update
 # ---------------------------------------------------------------------------
 
-def _inv_scaled(X):
-    """Jacobi-preconditioned inverse of a (near-)SPD matrix.
-
-    The information-form update inverts matrices whose diagonal spans ~9
-    orders of magnitude (pose rows carry HᵀH ~1e6-1e7 while velocity rows
-    only carry the prior ~1e-3).  A plain f32 `inv` loses the small-info
-    dimensions entirely (the reference runs this algebra in double,
-    esekfom.hpp:1722-1729); rescaling to unit diagonal first keeps the
-    conditioning XLA's f32 solver can handle, so the whole filter stays in
-    fast TPU-native f32.
-    """
-    d = jnp.sqrt(jnp.clip(jnp.abs(jnp.diagonal(X)), 1e-30, None))
-    Xs = X / d[:, None] / d[None, :]
-    return jnp.linalg.inv(Xs) / d[None, :] / d[:, None]
-
-
 def _chart_project_P(dx, x: st.NavState, x_prop: st.NavState, P, dx_new):
     """Project dx_new and P through the manifold charts (esekfom.hpp:1657-1697).
 
@@ -316,18 +300,20 @@ def update_iterated(
         # to its n×n information path but f32-stable: no P⁻¹ is ever formed
         # (the double inversion spans ~9 decades and breaks in single
         # precision; the reference sidesteps it by running in double).
-        # Both the factorization and the S-solve are UNROLLED in-graph ops:
-        # jnp.linalg custom calls cost ~0.5 ms each on a tunneled v5e.
+        #
+        # The S-solve must stay a PIVOTED solve on THIS symmetric form.
+        # Alternatives measured and rejected: unpivoted in-graph Cholesky
+        # (raw, refined, or carried preconditioner) drifts the filter — f32
+        # P's slight asymmetry makes S slightly indefinite; unrolled
+        # Householder QR is slower than the custom call (~160 sequential
+        # tiny ops); and the push-through form W = HᵀH·P₁₂/R + I (one solve
+        # on the sufficient statistics, no compression) shares S's
+        # eigenvalues but is NON-normal — conditioned like H̃·(·)·H̃⁻¹ — and
+        # diverges in f32 when HᵀH spans decades (estimate_extrinsics).
         Ht12, h_c = linalg.masked_chol_compress(HTH, HTh)
 
         PHt = P_it[:, 0:M_OBS] @ Ht12.T                   # (23,12) = P H̃ᵀ
         S = (Ht12 @ PHt[0:M_OBS]) / R + jnp.eye(M_OBS, dtype=dtype)
-        # S keeps the pivoted LAPACK solve: f32 P develops small asymmetry
-        # over scans which LU absorbs, while an unpivoted in-graph Cholesky
-        # degrades catastrophically on it (measured: the filter spirals
-        # indefinite within ~5 scans).  The compression above stays on the
-        # unrolled masked Cholesky — that one factors fresh HᵀH every
-        # iteration, which IS symmetric-PSD by construction.
         K_ = jnp.linalg.solve(S.T, PHt.T).T / R           # (23,12) = PH̃ᵀS⁻¹/R
         K_h = K_ @ h_c
         K_x = jnp.zeros((N, N), dtype=dtype).at[:, 0:M_OBS].set(K_ @ Ht12)
@@ -340,11 +326,19 @@ def update_iterated(
         t_next = carry["t"] + converged.astype(jnp.int32)
 
         done = (t_next > 1) | (i == max_iters - 1)
-        P_final = _final_P(x_next, x_prop, dx_, P_it, K_x)
+        # terminal covariance only on the final iteration (lax.cond skips
+        # its ~20-small-op chain on the earlier ones)
+        # terminal covariance only on the final iteration (lax.cond skips
+        # its ~20-small-op chain on the earlier ones)
+        P_final = jax.lax.cond(
+            done,
+            lambda a: _final_P(*a),
+            lambda a: carry["P"],
+            (x_next, x_prop, dx_, P_it, K_x))
 
         return {
             "x": x_next,
-            "P": jnp.where(done, P_final, carry["P"]),
+            "P": P_final,
             "t": t_next,
             "i": i + 1,
             "done": done,

@@ -117,6 +117,46 @@ def spd_solve(A, B):
     return (x / d) if vec else (x / d[:, None])
 
 
+def qr_solve(A, B):
+    """x with A x = B via fully-unrolled Householder QR (small square A).
+
+    Unconditionally backward stable WITHOUT pivoting — unlike Cholesky it
+    tolerates the slight indefiniteness/asymmetry that f32 covariance
+    round-off induces (the iEKF innovation matrix), and unlike
+    ``jnp.linalg.solve`` it fuses into the XLA graph instead of lowering to
+    a ~0.5 ms LAPACK-style custom call per invocation on tunneled devices.
+
+    Jacobi row/column pre-scaling keeps reflector norms well-ranged when the
+    diagonal spans many decades.  B may be (n,) or (n, m).
+    """
+    n = A.shape[0]
+    dtype = A.dtype
+    vec = B.ndim == 1
+    if vec:
+        B = B[:, None]
+
+    # symmetric Jacobi scaling (A need not be symmetric; this just ranges it)
+    d = jnp.sqrt(jnp.clip(jnp.abs(jnp.diagonal(A)), 1e-30, None))
+    R_ = A / d[:, None] / d[None, :]
+    Qt_B = B / d[:, None]
+
+    idx = jnp.arange(n)
+    for k in range(n):
+        mask = (idx >= k).astype(dtype)                  # rows k..n-1
+        x = R_[:, k] * mask
+        nrm = jnp.sqrt(jnp.sum(x * x))
+        xk = x[k]
+        alpha = -jnp.sign(jnp.where(xk == 0, 1.0, xk)) * nrm
+        v = x - alpha * (idx == k).astype(dtype)
+        vtv = jnp.sum(v * v)
+        beta = jnp.where(vtv > 0, 2.0 / jnp.where(vtv > 0, vtv, 1.0), 0.0)
+        R_ = R_ - beta * jnp.outer(v, v @ R_)
+        Qt_B = Qt_B - beta * jnp.outer(v, v @ Qt_B)
+
+    X = solve_upper(R_, Qt_B) / d[:, None]
+    return X[:, 0] if vec else X
+
+
 def masked_chol_compress(HTH, HTh):
     """Exact 12-row compression of (HᵀH, Hᵀh) with unobserved dims.
 

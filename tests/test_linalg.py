@@ -83,3 +83,51 @@ class TestMaskedCompress:
             jnp.zeros((12, 12)), jnp.zeros(12))
         assert np.all(np.asarray(Ht) == 0)
         assert np.all(np.asarray(h) == 0)
+
+
+class TestQRSolve:
+    """ops/linalg.qr_solve — the in-graph innovation solver."""
+
+    @pytest.fixture
+    def rng(self):
+        return np.random.default_rng(11)
+
+    def test_matches_lapack_well_conditioned(self, rng):
+        A = rng.standard_normal((12, 12))
+        A = A @ A.T + 12 * np.eye(12)
+        B = rng.standard_normal((12, 23))
+        X = np.asarray(linalg.qr_solve(jnp.asarray(A, jnp.float64),
+                                       jnp.asarray(B, jnp.float64)))
+        np.testing.assert_allclose(X, np.linalg.solve(A, B), rtol=1e-10,
+                                   atol=1e-12)
+
+    def test_vector_rhs(self, rng):
+        A = rng.standard_normal((7, 7)) + 7 * np.eye(7)
+        b = rng.standard_normal(7)
+        x = np.asarray(linalg.qr_solve(jnp.asarray(A, jnp.float64),
+                                       jnp.asarray(b, jnp.float64)))
+        np.testing.assert_allclose(x, np.linalg.solve(A, b), rtol=1e-10)
+
+    def test_slightly_indefinite_ill_conditioned(self, rng):
+        """The iEKF failure mode: S = I + G/R with G spanning decades and a
+        tiny asymmetric perturbation that breaks unpivoted Cholesky."""
+        H = rng.standard_normal((200, 12)) * np.geomspace(1, 3000, 12)
+        G = H.T @ H
+        S = np.eye(12) + G / 1e-3
+        S = S + rng.standard_normal((12, 12)) * 1e-4 * np.abs(S).max() * 1e-3
+        B = rng.standard_normal((12, 23)) * np.geomspace(1e-6, 1.0, 23)[None]
+        Xf = np.asarray(linalg.qr_solve(jnp.asarray(S, jnp.float32),
+                                        jnp.asarray(B, jnp.float32)))
+        Xd = np.linalg.solve(S, B)
+        # per-column relative accuracy vs the f64 truth, f32-grade
+        colB = np.linalg.norm(Xd, axis=0) + 1e-30
+        rel = np.linalg.norm(Xf - Xd, axis=0) / colB
+        assert np.max(rel) < 1e-2, rel
+
+    def test_asymmetric_general(self, rng):
+        A = rng.standard_normal((12, 12)) + np.diag(rng.uniform(2, 5, 12))
+        B = rng.standard_normal((12, 4))
+        X = np.asarray(linalg.qr_solve(jnp.asarray(A, jnp.float64),
+                                       jnp.asarray(B, jnp.float64)))
+        np.testing.assert_allclose(X, np.linalg.solve(A, B), rtol=1e-9,
+                                   atol=1e-11)

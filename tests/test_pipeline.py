@@ -245,3 +245,21 @@ def test_chunked_dispatch_matches_single(seq):
     for x, y in zip(jax.tree_util.tree_leaves(loc1.state),
                     jax.tree_util.tree_leaves(loc4.state)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_trajectory_recovery_estimating_extrinsics(seq):
+    """f32 end-to-end WITH extrinsic estimation (the default/CLI config).
+
+    Regression guard for the innovation-solve formulation: a push-through
+    gain form (W = HᵀH·P₁₂/R + I) passed every estimate_extrinsics=False
+    test and the f64 oracle, yet diverged within scans on THIS config —
+    the extrinsic columns make HᵀH span ~6 decades and the non-normal W
+    is f32-fatal.  Any alternative gain algebra must pass here.
+    """
+    cfg = small_cfg()
+    cfg.ikfom.estimate_extrinsics = True
+    loc = run_odometry(cfg, seq, 15)
+    est = loc.positions()
+    gt = seq.traj.pos(loc.stamps())
+    err = np.linalg.norm(est - gt, axis=1)
+    assert err[-1] < 0.3, f"final error {err[-1]:.3f} m (errs={err.round(3)})"

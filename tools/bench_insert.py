@@ -1,12 +1,11 @@
 #!/usr/bin/env python
-"""Microbenchmark the insert path of the fused-group voxel map."""
+"""Micro-benchmarks of insert's sub-stages (entry-block layout)."""
 
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 
 import jax
 import jax.numpy as jnp
@@ -49,9 +48,12 @@ def main():
                           voxel_size=vs)
     jax.block_until_ready(m)
 
-    q0 = jnp.asarray(rng.uniform([-40, -40, -2], [40, 40, 6], (N, 3)), jnp.float32)
+    q0 = jnp.asarray(rng.uniform([-40, -40, -2], [40, 40, 6], (N, 3)),
+                     jnp.float32)
     valid = jnp.ones(N, bool)
-    G, W = m.table.shape
+    G = m.groups
+    B = m.bucket
+    EW = mapper._entry_width(B)
 
     t_null = loop_time(lambda q: q + 1e-6, q0)
     print(f"null: {t_null*1e3/R:.3f} ms/iter  (device {jax.devices()[0]})")
@@ -66,32 +68,52 @@ def main():
         return q + m2.table[0, 0] * 1e-12
     tm("insert full", full)
 
-    def meta(q):
-        vc = mapper.voxel_coords(q, vs)
-        g = mapper._hash(vc, G)
-        match, counts = mapper._group_meta(m, g, vc)
-        return q + jnp.sum(counts) * 1e-12
-    tm("meta gather + match", meta)
-
     def srt(q):
         vc = mapper.voxel_coords(q, vs)
         g = mapper._hash(vc, G)
         key_g = jnp.where(valid, g, jnp.int32(0x7FFFFFFF))
-        packed = ((vc[:, 0] & 0x7FFF) << 15) | (vc[:, 1] & 0x7FFF)
-        order = jnp.lexsort((vc[:, 2], packed, key_g))
+        packed = (((vc[:, 0] & 0x3FF) << 20)
+                  | ((vc[:, 1] & 0x3FF) << 10)
+                  | (vc[:, 2] & 0x3FF))
+        _, _, order = jax.lax.sort(
+            (key_g, packed, jnp.arange(N, dtype=jnp.int32)), num_keys=2)
         return q + jnp.sum(order).astype(jnp.float32) * 1e-12
-    tm("lexsort 3 keys", srt)
+    tm("2-key sort", srt)
 
-    rows4 = W // 4
-    rowidx = jnp.asarray(rng.integers(0, G * rows4, N), jnp.int32)
+    def gat(q):
+        vc = mapper.voxel_coords(q, vs)
+        g = mapper._hash(vc, G)
+        ent, match, counts = mapper._group_rows(m, g, vc)
+        return q + jnp.sum(counts) * 1e-12
+    tm("group-row gather + match", gat)
+
+    def seg(q):
+        vc = mapper.voxel_coords(q, vs)
+        same = jnp.concatenate(
+            [jnp.array([False]), jnp.all(vc[1:] == vc[:-1], axis=-1)])
+        r = mapper._seg_sum(~same, jnp.concatenate(
+            [jnp.array([True]), jnp.zeros(N - 1, bool)]))
+        return q + jnp.sum(r).astype(jnp.float32) * 1e-12
+    tm("segmented scan", seg)
+
+    def mrg(q):
+        # the (N,B,B) selection einsum of the leader merge
+        pts4 = jnp.concatenate([q, jnp.zeros((N, 1), jnp.float32)], axis=1)
+        new_stack = jnp.broadcast_to(pts4[:, None, :], (N, B, 4))
+        sel = jnp.asarray(rng.uniform(size=(N, B, B)) < 0.2, jnp.float32)
+        out = jnp.einsum("nsj,njc->nsc", sel, new_stack)
+        return q + jnp.mean(out) * 1e-12
+    tm("merge einsum (N,B,B)", mrg)
+
+    rowidx = jnp.asarray(rng.integers(0, G * 8, N), jnp.int32)
 
     def sct(q):
-        flat4 = m.table.reshape(G * rows4, 4)
-        vals = jnp.concatenate([q, jnp.zeros((N, 1), jnp.float32)], axis=1)
-        flat4 = flat4.at[rowidx + q[0, 0].astype(jnp.int32) * 0].set(
+        flatE = m.table.reshape(G * 8, EW)
+        vals = jnp.zeros((N, EW), jnp.float32).at[:, :3].set(q)
+        flatE = flatE.at[rowidx + q[0, 0].astype(jnp.int32) * 0].set(
             vals, mode="drop")
-        return q + flat4[0, 0] * 1e-12
-    tm("fused scatter (2N rows-of-4)", sct)
+        return q + flatE[0, 0] * 1e-12
+    tm("entry-block scatter (N rows)", sct)
 
 
 if __name__ == "__main__":

@@ -89,13 +89,16 @@ def main():
         return t
 
     # gather_neighborhood — perturb queries each iter to defeat CSE
+    nbh = cfg.tpu.knn_neighborhood
+
     def g_body(q):
-        cand, cv = mapper.gather_neighborhood(m, q, voxel_size=vs, probes=probes)
+        cand, cv = mapper.gather_neighborhood(m, q, voxel_size=vs, probes=probes,
+                                              neighborhood=nbh)
         return q + jnp.mean(cand) * 1e-12
-    tm("gather_neighborhood", g_body, q0)
+    tm(f"gather_neighborhood (V={nbh})", g_body, q0)
 
     cand_pts, cand_valid = mapper.gather_neighborhood(
-        m, q0, voxel_size=vs, probes=probes)
+        m, q0, voxel_size=vs, probes=probes, neighborhood=nbh)
     jax.block_until_ready(cand_pts)
 
     def t_body(q):
@@ -203,6 +206,23 @@ def main():
         HTH, HTh = h_stats(s.x._replace(pos=s.x.pos + carry[:3, 0] * 1e-12))
         return carry + HTH[:3, :3].sum() * 1e-12
     tm("h_stats (1 update iter)", it_body, jnp.zeros((23, 23), dtype))
+
+    # full iterated update (re-built measurement closure per perturbation)
+    def up_body(carry):
+        _hr, hst = measurement.make_h_model(
+            m, q0 + carry[0, :3] * 1e-12, qvalid, voxel_size=vs, k=k,
+            probes=probes,
+            max_dist_plane=cfg.ikfom.mapping.MAX_DIST_PLANE,
+            plane_threshold=cfg.ikfom.mapping.PLANE_THRESHOLD,
+            max_num_matches=cfg.ikfom.mapping.MAX_NUM_MATCHES,
+            estimate_extrinsics=True, knn_refresh=cfg.tpu.knn_refresh,
+            x0=s.x, neighborhood=nbh)
+        x_u, P_u, n_it = iekf.update_iterated(
+            s.x, s.P, hst, R=cfg.ikfom.lidar_noise,
+            D=cfg.ikfom.degeneracy_thresh,
+            max_iters=cfg.ikfom.MAX_NUM_ITERS, limit=cfg.ikfom.LIMITS)
+        return carry + P_u * 1e-12
+    tm("update_iterated (full)", up_body, jnp.zeros((23, 23), dtype))
 
     def sc_body(carry):
         d = sc.descriptor(carry[:10000], jnp.ones(10000, bool))
