@@ -294,29 +294,24 @@ def update_iterated(
 
         # Gain in covariance form on measurements COMPRESSED to 12 dims:
         # HᵀH = L Lᵀ ⇒ an exactly equivalent 12-row problem H̃ = Lᵀ,
-        # h̃ = L⁻¹(Hᵀh) (masked Cholesky — exact for unobserved dims, see
-        # ops/linalg.py).  This is the reference's own m×m path
-        # (esekfom.hpp:1701-1709, K = PHᵀ(HPHᵀ/R + I)⁻¹/R) — Woodbury-equal
-        # to its n×n information path but f32-stable: no P⁻¹ is ever formed
-        # (the double inversion spans ~9 decades and breaks in single
-        # precision; the reference sidesteps it by running in double).
-        #
-        # The S-solve must stay a PIVOTED solve on THIS symmetric form.
-        # Alternatives measured and rejected: unpivoted in-graph Cholesky
-        # (raw, refined, or carried preconditioner) drifts the filter — f32
-        # P's slight asymmetry makes S slightly indefinite; unrolled
-        # Householder QR is slower than the custom call (~160 sequential
-        # tiny ops); and the push-through form W = HᵀH·P₁₂/R + I (one solve
-        # on the sufficient statistics, no compression) shares S's
-        # eigenvalues but is NON-normal — conditioned like H̃·(·)·H̃⁻¹ — and
-        # diverges in f32 when HᵀH spans decades (estimate_extrinsics).
-        Ht12, h_c = linalg.masked_chol_compress(HTH, HTh)
+        # h̃ = L⁻¹(Hᵀh) (masked Cholesky — exact for unobserved dims); then
+        # the reference's own m×m path (esekfom.hpp:1701-1709,
+        # K = PHᵀ(HPHᵀ/R + I)⁻¹/R) — Woodbury-equal to its n×n information
+        # path but f32-stable: no P⁻¹ is ever formed (the double inversion
+        # spans ~9 decades and breaks in single precision; the reference
+        # sidesteps it by running in double).  On TPU the whole chain runs
+        # as ONE fused Pallas kernel (ops/gain.py — compression, S build,
+        # pivoted Gauss-Jordan solve, gain products); elsewhere the jnp
+        # reference path with a pivoted LAPACK solve.  The pivoting is
+        # load-bearing; see ops/gain.py for the measured-and-rejected
+        # alternatives (unpivoted Cholesky variants drift the filter, the
+        # non-normal push-through form diverges with estimate_extrinsics).
+        from fast_limo_tpu.ops import gain as gain_op
 
-        PHt = P_it[:, 0:M_OBS] @ Ht12.T                   # (23,12) = P H̃ᵀ
-        S = (Ht12 @ PHt[0:M_OBS]) / R + jnp.eye(M_OBS, dtype=dtype)
-        K_ = jnp.linalg.solve(S.T, PHt.T).T / R           # (23,12) = PH̃ᵀS⁻¹/R
-        K_h = K_ @ h_c
-        K_x = jnp.zeros((N, N), dtype=dtype).at[:, 0:M_OBS].set(K_ @ Ht12)
+        K_x12, K_h = gain_op.gain(HTH, HTh, P_it, R)      # (23,12), (23,)
+        K_x = jnp.zeros((N, N), dtype=dtype).at[:, 0:M_OBS].set(
+            K_x12.astype(dtype))
+        K_h = K_h.astype(dtype)
 
         dx_ = K_h + (K_x - jnp.eye(N, dtype=dtype)) @ dx_new
         dx_guarded = _degeneracy_guard(HTH, dx_, D)
