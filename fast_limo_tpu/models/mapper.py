@@ -171,14 +171,18 @@ def _group_rows(m: VoxelHashMap, g, nc):
 # ---------------------------------------------------------------------------
 
 def _seg_sum(flags, reset):
-    """Inclusive segmented sum of ``flags`` with restart where ``reset``."""
-    def combine(a, b):
-        va, ra = a
-        vb, rb = b
-        return jnp.where(rb, vb, va + vb), ra | rb
-    out, _ = jax.lax.associative_scan(
-        combine, (flags.astype(jnp.int32), reset))
-    return out
+    """Inclusive segmented sum of ``flags`` with restart where ``reset``.
+
+    Two NATIVE scans instead of a pair-carry associative_scan: the inclusive
+    sum within a segment starting at s is pre[i] − (pre[s] − flags[s]), and
+    since pre is nondecreasing the per-segment base (pre − flags at segment
+    starts) is recoverable with a running max.  ``reset[0]`` must be True
+    (callers pass the first-group flag).
+    """
+    f = flags.astype(jnp.int32)
+    pre = jnp.cumsum(f)
+    base = jax.lax.cummax(jnp.where(reset, pre - f, jnp.int32(-(2 ** 30))))
+    return pre - base
 
 
 @functools.partial(jax.jit, static_argnames=("voxel_size", "probes", "num_shards"))
