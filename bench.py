@@ -86,7 +86,7 @@ def kitti_like_cfg() -> Config:
     # iteration (pose moves millimetrically between iterations; ATE parity
     # verified on the synthetic benchmark — see tpu.knn_refresh docs)
     cfg.tpu.knn_refresh = "first"
-    cfg.tpu.knn_neighborhood = 8
+    cfg.tpu.knn_neighborhood = 4
     # int16 host→device scan payload (4 mm LSB — below lidar noise; ATE
     # verified unchanged): halves the per-scan transfer on the tunnel
     # (measured 66 → 98 scans/s on the tunneled v5e)

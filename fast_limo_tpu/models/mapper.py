@@ -339,6 +339,11 @@ def gather_neighborhood(m: VoxelHashMap, queries, *, voxel_size: float,
       With the default 1.2 m voxels the k-th match distance is well under
       the 0.6 m guarantee in mapped regions, so matching is unchanged in
       practice (validated by ATE).
+    * 4 — the query's voxel plus its 3 FACE neighbors toward the nearest
+      corner (no edge/corner diagonals). No hard coverage guarantee — a
+      true neighbor in a diagonal voxel can be missed — but with dense maps
+      the k nearest points almost always lie in these 4 voxels; halves the
+      gather traffic vs 8. Accuracy knob: validate per-config with ATE.
 
     ONE wide-row gather fetches each neighbor voxel's group (coords, counts,
     and all E·B points); the matching entry is selected in-register with an
@@ -350,7 +355,7 @@ def gather_neighborhood(m: VoxelHashMap, queries, *, voxel_size: float,
     Returns (cand_pts (N,V,B,3), cand_valid (N,V,B)).
     """
     del probes
-    assert neighborhood in (8, 27)
+    assert neighborhood in (4, 8, 27)
     G = m.groups
     B = m.bucket
     N = queries.shape[0]
@@ -362,7 +367,12 @@ def gather_neighborhood(m: VoxelHashMap, queries, *, voxel_size: float,
         # offset 0 or ±1 per axis, toward the query's nearest corner
         frac = queries / voxel_size - qc.astype(queries.dtype)   # [0,1)
         step = jnp.where(frac >= 0.5, 1, -1).astype(jnp.int32)   # (N,3)
-        nc = qc[:, None, :] + _CORNER_COMBOS[None, :, :] * step[:, None, :]
+        if neighborhood == 8:
+            combos = _CORNER_COMBOS
+        else:  # 4: self + the 3 face neighbors toward the nearest corner
+            combos = jnp.concatenate(
+                [jnp.zeros((1, 3), jnp.int32), jnp.eye(3, dtype=jnp.int32)])
+        nc = qc[:, None, :] + combos[None, :, :] * step[:, None, :]
     if num_shards > 1:
         owned, g = _shard_split(_hash(nc, G * num_shards),
                                 G, num_shards, shard_index)
