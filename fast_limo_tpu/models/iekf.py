@@ -254,6 +254,43 @@ def _final_P(x: st.NavState, x_prop: st.NavState, dx_, P, K_x):
     return L - K_x[:, 0:M_OBS] @ P[0:M_OBS, :]
 
 
+def _body_jnp(x: st.NavState, x_prop: st.NavState, P_prop, HTH, HTh, R, D):
+    """One update-iteration body in plain jnp (exact reference semantics,
+    including the eigh degeneracy guard).  Returns (x_next, P_fin, dx_)
+    where dx_ is the PRE-guard update vector (convergence is tested on it,
+    esekfom.hpp:1749-1756) and P_fin is the terminal covariance as if this
+    were the final iteration.
+    """
+    dtype = x.pos.dtype
+    dx = st.boxminus(x, x_prop)
+    dx_new, P_it = _chart_project_P(dx, x, x_prop, P_prop, dx)
+
+    # Gain in covariance form on measurements COMPRESSED to 12 dims:
+    # HᵀH = L Lᵀ ⇒ an exactly equivalent 12-row problem H̃ = Lᵀ,
+    # h̃ = L⁻¹(Hᵀh) (masked Cholesky — exact for unobserved dims); then
+    # the reference's own m×m path (esekfom.hpp:1701-1709,
+    # K = PHᵀ(HPHᵀ/R + I)⁻¹/R) — Woodbury-equal to its n×n information
+    # path but f32-stable: no P⁻¹ is ever formed (the double inversion
+    # spans ~9 decades and breaks in single precision; the reference
+    # sidesteps it by running in double).  The pivoting in the solve is
+    # load-bearing; see ops/gain.py for the measured-and-rejected
+    # alternatives (unpivoted Cholesky variants drift the filter, the
+    # non-normal push-through form diverges with estimate_extrinsics).
+    from fast_limo_tpu.ops import gain as gain_op
+
+    K_x12, K_h = gain_op.gain(HTH, HTh, P_it, R)      # (23,12), (23,)
+    K_x = jnp.zeros((N, N), dtype=dtype).at[:, 0:M_OBS].set(
+        K_x12.astype(dtype))
+    K_h = K_h.astype(dtype)
+
+    dx_ = K_h + (K_x - jnp.eye(N, dtype=dtype)) @ dx_new
+    dx_guarded = _degeneracy_guard(HTH, dx_, D)
+
+    x_next = st.boxplus(x, dx_guarded)
+    P_fin = _final_P(x_next, x_prop, dx_, P_it, K_x)
+    return x_next, P_fin, dx_
+
+
 def update_iterated(
     x: st.NavState,
     P,
@@ -273,10 +310,20 @@ def update_iterated(
     ``limit`` the per-dimension convergence limit (LIMITS broadcast,
     main.cpp:164-166).
 
+    On TPU f32 the whole per-iteration body between ``h_model`` and the
+    loop bookkeeping — chart projection, gain, boxplus, terminal covariance
+    — runs as ONE fused Pallas kernel (ops/update_body.py); its in-kernel
+    Gershgorin bound certifies the degeneracy guard is the identity, and
+    the rare near-degenerate case falls back to the exact jnp body (with
+    the reference's eigh guard) via ``lax.cond``.
+
     Returns (x', P', n_iters).
     """
     dtype = x.pos.dtype
     x_prop, P_prop = x, P
+
+    platform = jax.devices()[0].platform
+    use_kernel = platform in ("tpu", "axon") and dtype == jnp.float32
 
     def cond(carry):
         return ~carry["done"]
@@ -289,51 +336,28 @@ def update_iterated(
         HTH = HTH.astype(dtype)                # (12,12); zero rows are no-ops
         HTh = HTh.astype(dtype)                # (12,)
 
-        dx = st.boxminus(x, x_prop)
-        dx_new, P_it = _chart_project_P(dx, x, x_prop, P_prop, dx)
+        if use_kernel:
+            from fast_limo_tpu.ops import update_body
 
-        # Gain in covariance form on measurements COMPRESSED to 12 dims:
-        # HᵀH = L Lᵀ ⇒ an exactly equivalent 12-row problem H̃ = Lᵀ,
-        # h̃ = L⁻¹(Hᵀh) (masked Cholesky — exact for unobserved dims); then
-        # the reference's own m×m path (esekfom.hpp:1701-1709,
-        # K = PHᵀ(HPHᵀ/R + I)⁻¹/R) — Woodbury-equal to its n×n information
-        # path but f32-stable: no P⁻¹ is ever formed (the double inversion
-        # spans ~9 decades and breaks in single precision; the reference
-        # sidesteps it by running in double).  On TPU the whole chain runs
-        # as ONE fused Pallas kernel (ops/gain.py — compression, S build,
-        # pivoted Gauss-Jordan solve, gain products); elsewhere the jnp
-        # reference path with a pivoted LAPACK solve.  The pivoting is
-        # load-bearing; see ops/gain.py for the measured-and-rejected
-        # alternatives (unpivoted Cholesky variants drift the filter, the
-        # non-normal push-through form diverges with estimate_extrinsics).
-        from fast_limo_tpu.ops import gain as gain_op
+            xk, Pk, dxk, gm = update_body.update_body_tpu(
+                HTH, HTh, P_prop, x, x_prop, R)
+            x_next, P_fin, dx_ = jax.lax.cond(
+                gm >= D,
+                lambda: (xk, Pk, dxk),
+                lambda: _body_jnp(x, x_prop, P_prop, HTH, HTh, R, D))
+        else:
+            x_next, P_fin, dx_ = _body_jnp(x, x_prop, P_prop, HTH, HTh, R, D)
 
-        K_x12, K_h = gain_op.gain(HTH, HTh, P_it, R)      # (23,12), (23,)
-        K_x = jnp.zeros((N, N), dtype=dtype).at[:, 0:M_OBS].set(
-            K_x12.astype(dtype))
-        K_h = K_h.astype(dtype)
-
-        dx_ = K_h + (K_x - jnp.eye(N, dtype=dtype)) @ dx_new
-        dx_guarded = _degeneracy_guard(HTH, dx_, D)
-
-        x_next = st.boxplus(x, dx_guarded)
         converged = jnp.all(jnp.abs(dx_) <= limit)
         t_next = carry["t"] + converged.astype(jnp.int32)
 
         done = (t_next > 1) | (i == max_iters - 1)
-        # terminal covariance only on the final iteration (lax.cond skips
-        # its ~20-small-op chain on the earlier ones)
-        # terminal covariance only on the final iteration (lax.cond skips
-        # its ~20-small-op chain on the earlier ones)
-        P_final = jax.lax.cond(
-            done,
-            lambda a: _final_P(*a),
-            lambda a: carry["P"],
-            (x_next, x_prop, dx_, P_it, K_x))
+        # the terminal covariance only lands on the final iteration
+        P_next = jnp.where(done, P_fin, carry["P"])
 
         return {
             "x": x_next,
-            "P": P_final,
+            "P": P_next,
             "t": t_next,
             "i": i + 1,
             "done": done,

@@ -57,12 +57,14 @@ def gain_reference(HTH, HTh, P, R):
     return K_ @ Ht12, K_ @ h_c            # K_x (23,12), K_h (23,)
 
 
-def _gain_kernel(HTH_ref, HTh_ref, P_ref, scal_ref, Kx_ref, Kh_ref):
+def gain_math(A, u, Pm, inv_R):
+    """The in-kernel gain algebra on register values (shared with the fused
+    update-body kernel, ops/update_body.py).
+
+    A (M,M) = HᵀH, u (M,) = Hᵀh, Pm (NS,M) = P[:, :12], inv_R scalar.
+    Returns (K_x (NS,M), K_h (NS,)).
+    """
     f32 = jnp.float32
-    inv_R = scal_ref[0, 0]
-    A = HTH_ref[:, :]                                  # (M, M)
-    u = HTh_ref[0, :]                                  # (M,)
-    Pm = P_ref[:, :]                                   # (NS, M) = P[:, :12]
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
@@ -132,8 +134,16 @@ def _gain_kernel(HTH_ref, HTh_ref, P_ref, scal_ref, Kx_ref, Kh_ref):
     X = Aug[:, M:]                                                # (M, NS)
     K = X.T * inv_R                                               # (NS, M)
 
-    Kx_ref[:, :] = jnp.dot(K, Ht, preferred_element_type=f32)     # (NS, M)
-    Kh_ref[:, :] = jnp.sum(K * h[None, :], axis=1)[:, None]
+    K_x = jnp.dot(K, Ht, preferred_element_type=f32)              # (NS, M)
+    K_h = jnp.sum(K * h[None, :], axis=1)                         # (NS,)
+    return K_x, K_h
+
+
+def _gain_kernel(HTH_ref, HTh_ref, P_ref, scal_ref, Kx_ref, Kh_ref):
+    K_x, K_h = gain_math(HTH_ref[:, :], HTh_ref[0, :], P_ref[:, :],
+                         scal_ref[0, 0])
+    Kx_ref[:, :] = K_x
+    Kh_ref[:, :] = K_h[:, None]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
