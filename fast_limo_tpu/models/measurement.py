@@ -119,6 +119,11 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
         keep = good & (local_cum <= max_num_matches)
         return n_abcd, keep
 
+    import jax as _jax
+
+    use_kernel = (_jax.devices()[0].platform in ("tpu", "axon")
+                  and pc.dtype == jnp.float32)
+
     if knn_refresh == "first":
         # correspondences (neighbor sets, plane fits, gates) are resolved
         # once at the predicted pose and held fixed across iterations — only
@@ -129,6 +134,12 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
         assert x0 is not None, "knn_refresh='first' needs the predicted pose x0"
         glob0 = so3.quat_rotate(x0.rot, pc) + x0.pos
         frozen = _match(glob0)
+        if use_kernel:
+            # pack channels ONCE per scan for the fused statistics kernel
+            from fast_limo_tpu.ops import hstats as hstats_op
+
+            _n0, _k0 = frozen
+            frozen_X = hstats_op.pack_inputs(pc, _n0, _k0)
 
     def h_rows(x: st.NavState):
         dtype = pc.dtype
@@ -157,8 +168,23 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
         return H, h
 
     def h_stats(x: st.NavState):
-        H, h = h_rows(x)
-        HTH, HTh = H.T @ H, H.T @ h
+        if use_kernel:
+            # whole per-iteration chain (world transform, residuals, H rows,
+            # HᵀH/Hᵀh) as ONE Pallas launch — ops/hstats.py
+            from fast_limo_tpu.ops import hstats as hstats_op
+
+            if knn_refresh == "first":
+                X = frozen_X
+            else:
+                glob = so3.quat_rotate(x.rot, pc) + x.pos
+                n_abcd, keep = _match(glob)
+                X = hstats_op.pack_inputs(pc, n_abcd, keep)
+            HTH, HTh = hstats_op.hstats_tpu(
+                X, hstats_op.pack_scalars(x),
+                estimate_extrinsics=estimate_extrinsics)
+        else:
+            H, h = h_rows(x)
+            HTH, HTh = H.T @ H, H.T @ h
         if query_axis is not None:
             import jax
 
