@@ -7,15 +7,19 @@ entire lookup is ONE wide-row gather and the entire insert is ONE gather +
 ONE scatter:
 
 * groups of ``E = 8`` entries share one hash slot ("group");
-* each group is a single fused f32 row of E contiguous ENTRY blocks of
-  width ``EW = 4 + 4B`` (so ``W = E·EW``)::
+* the same data lives in TWO mirrored group-row layouts (see the
+  VoxelHashMap docstring): ``table`` is entry-major — E contiguous ENTRY
+  blocks of width ``EW = 4 + 4B`` (``W = E·EW``)::
 
       [ entry0: (vx,vy,vz as exact f32, count f32, B×4 points) | entry1 … ]
 
-  so a kNN lookup gathers whole group rows, and an insert writes ONE
-  entry-block row per distinct voxel in the batch — meta and all merged
-  bucket points together — in the flat ``(G·E, EW)`` view: a single scatter
-  with one index per input point (only voxel-run leaders actually land).
+  so an insert writes ONE entry-block row per distinct voxel in the batch —
+  meta and all merged bucket points together — in the flat ``(G·E, EW)``
+  view: a single scatter with one index per input point (only voxel-run
+  leaders actually land); and ``ptable`` is planar —
+  ``[vx×E | vy×E | vz×E | cnt×E | x slot-major E·B | y | z]`` — so the kNN
+  lookup gathers whole planar rows and decodes them with contiguous lane
+  slices (one extra delta scatter-ADD keeps it exact).
 
 Why: on TPU, gather/scatter cost is per *operation* + per *row* and nearly
 independent of row width (measured v5e: ~0.7 ms fixed + ~18 ns/row gather /
@@ -74,8 +78,33 @@ def _row_width(bucket: int) -> int:
     return E * _entry_width(bucket)
 
 
+def _planar_width(bucket: int) -> int:
+    """Planar group row: [vx×E | vy×E | vz×E | cnt×E | x slot-major E·B | y | z]."""
+    return 4 * E + 3 * E * bucket
+
+
 class VoxelHashMap(NamedTuple):
-    table: jnp.ndarray       # (G, W) float32 fused rows (see module docstring)
+    """Twin-layout voxel-hash map.
+
+    ``table`` is ENTRY-MAJOR (E contiguous entry blocks per group row) — the
+    layout inserts want: one voxel's whole update is one contiguous row in
+    the flat (G·E, EW) view, so the insert is a single row scatter with no
+    write collisions between voxels of one group.
+
+    ``ptable`` is the PLANAR mirror of the same data — the layout kNN wants:
+    per group, the E voxel coords / counts / per-slot point coordinates each
+    occupy contiguous lane planes, so the lookup kernel (ops/knn_rows.py)
+    decodes a gathered row with static contiguous slices (entry-major rows
+    need either per-lane register columns, which blow the VMEM stack, or
+    one-hot selector matmuls, which burn ~1 ms of f32 MXU per scan —
+    both measured).  Insert keeps it exactly consistent with one extra
+    scatter-ADD of per-entry deltas (new − old lane values): adds from
+    different voxels of one group commute, so group-level collisions are
+    exact, and integer-valued coord/count lanes stay exact in f32.
+    """
+
+    table: jnp.ndarray       # (G, W) float32 entry-major rows
+    ptable: jnp.ndarray      # (G, WP) float32 planar rows (see _planar_width)
     num_points: jnp.ndarray  # () int32  (Mapper::size, Mapper.cpp:51-53)
     last_time: jnp.ndarray   # () float32 (Mapper::last_time)
 
@@ -124,9 +153,40 @@ def create(capacity: int, bucket: int, dtype=jnp.float32) -> VoxelHashMap:
     del dtype  # fused table is always f32 (integer coords are exact in f32)
     return VoxelHashMap(
         table=jnp.zeros((capacity // E, _row_width(bucket)), jnp.float32),
+        ptable=jnp.zeros((capacity // E, _planar_width(bucket)), jnp.float32),
         num_points=jnp.asarray(0, jnp.int32),
         last_time=jnp.asarray(-1.0, jnp.float32),
     )
+
+
+def _planarize(table, bucket: int):
+    """Rebuild the planar mirror from the entry-major table.
+
+    A pure lane permutation per group row, done as ONE one-hot matmul
+    (G,W)·(W,WP) on the MXU — ~0.06 ms for the default 8k×224 table, exact
+    (each output lane is a single 1.0·value MAC), scatter-free, and immune
+    to the write-collision / stale-lane subtleties an incremental mirror
+    would have.  Runs once per insert batch.
+    """
+    B = bucket
+    EW = _entry_width(B)
+    W = E * EW
+    WP = _planar_width(B)
+    r = jax.lax.broadcasted_iota(jnp.int32, (W, WP), 0)
+    t = jax.lax.broadcasted_iota(jnp.int32, (W, WP), 1)
+    # planar lane t → entry-major lane src(t)
+    plane = t // E                 # 0..3 meta planes, then coordinate planes
+    e_of_t = t % E
+    meta_src = e_of_t * EW + plane                       # vx/vy/vz/cnt planes
+    pt = t - 4 * E                                       # index into xyz planes
+    c_of_t = pt // (E * B)                               # 0=x 1=y 2=z
+    s_of_t = (pt % (E * B)) // E
+    e2_of_t = pt % E
+    pt_src = e2_of_t * EW + 4 + 4 * s_of_t + c_of_t
+    src = jnp.where(t < 4 * E, meta_src, pt_src)
+    P = (r == src).astype(jnp.float32)                   # (W, WP) one-hot
+    return jax.lax.dot_general(table, P, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
 def _hash(coords, groups: int):
@@ -312,16 +372,85 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 0,
          merged.reshape(N, 4 * B)], axis=1)                  # (N,EW)
     flatE = m.table.reshape(G * E, EW)
     flatE = flatE.at[erow].set(evals, mode="drop")
+    table = flatE.reshape(G, E * EW)
 
     # dtype pinned: under x64 jnp.sum would promote the int32 count to int64
     total = jnp.sum(jnp.where(writer, n_placed, 0), dtype=jnp.int32)
-    return VoxelHashMap(flatE.reshape(G, E * EW), m.num_points + total,
+    return VoxelHashMap(table, _planarize(table, B), m.num_points + total,
                         m.last_time)
 
 
 # ---------------------------------------------------------------------------
 # kNN
 # ---------------------------------------------------------------------------
+
+def gather_rows(m: VoxelHashMap, queries, *, voxel_size: float,
+                num_shards: int = 1, shard_index=0, neighborhood: int = 27):
+    """The raw kNN gather: neighbor voxel coords + their full group rows.
+
+    Returns ``(rows (N,V,W) f32, nc (N,V,3) int32, owned (N,V) bool|None)``.
+    This is the only HBM-heavy part of the lookup (per-row gather cost);
+    entry matching / distances / top-k run either fused in one Pallas kernel
+    (ops/knn_rows.py, TPU) or via the jnp chain (``cands_from_rows``).
+    """
+    assert neighborhood in (4, 8, 27)
+    G = m.groups
+    qc = voxel_coords(queries, voxel_size)                     # (N,3)
+    if neighborhood == 27:
+        nc = qc[:, None, :] + _NEIGHBOR_OFFSETS[None, :, :]    # (N,27,3)
+    else:
+        # offset 0 or ±1 per axis, toward the query's nearest corner
+        frac = queries / voxel_size - qc.astype(queries.dtype)   # [0,1)
+        step = jnp.where(frac >= 0.5, 1, -1).astype(jnp.int32)   # (N,3)
+        if neighborhood == 8:
+            combos = _CORNER_COMBOS
+        else:  # 4: self + the 3 face neighbors toward the nearest corner
+            combos = jnp.concatenate(
+                [jnp.zeros((1, 3), jnp.int32), jnp.eye(3, dtype=jnp.int32)])
+        nc = qc[:, None, :] + combos[None, :, :] * step[:, None, :]
+    if num_shards > 1:
+        owned, g = _shard_split(_hash(nc, G * num_shards),
+                                G, num_shards, shard_index)
+    else:
+        owned = None
+        g = _hash(nc, G)
+    rows = m.ptable[g]                                         # (N,V,WP) — THE gather
+    return rows, nc, owned
+
+
+def cands_from_rows(rows, nc, owned, bucket: int):
+    """jnp entry-match + bucket extraction from PLANAR rows.
+
+    rows (N,V,WP), nc (N,V,3) → (cand_pts (N,V,B,3), cand_valid (N,V,B)).
+    All reads are contiguous lane-plane slices (see VoxelHashMap docstring).
+    """
+    N, V, WP = rows.shape
+    B = bucket
+    ncf = nc.astype(jnp.float32)
+    vx = rows[..., 0:E]                                        # (N,V,E)
+    vy = rows[..., E:2 * E]
+    vz = rows[..., 2 * E:3 * E]
+    cnt = rows[..., 3 * E:4 * E]
+    sel = ((cnt > 0) & (vx == ncf[..., 0:1]) & (vy == ncf[..., 1:2])
+           & (vz == ncf[..., 2:3]))                            # (N,V,E)
+    if owned is not None:
+        sel = sel & owned[..., None]
+    sel_f = sel.astype(jnp.float32)
+
+    EB = E * B
+    xs = rows[..., 4 * E:4 * E + EB].reshape(N, V, B, E)       # slot-major
+    ys = rows[..., 4 * E + EB:4 * E + 2 * EB].reshape(N, V, B, E)
+    zs = rows[..., 4 * E + 2 * EB:4 * E + 3 * EB].reshape(N, V, B, E)
+    px = jnp.einsum("nvse,nve->nvs", xs, sel_f)                # (N,V,B)
+    py = jnp.einsum("nvse,nve->nvs", ys, sel_f)
+    pz = jnp.einsum("nvse,nve->nvs", zs, sel_f)
+    cand_pts = jnp.stack([px, py, pz], axis=-1)                # (N,V,B,3)
+    cand_n = jnp.sum(sel_f * cnt, axis=-1)                     # (N,V)
+    cand_valid = (
+        jnp.arange(B, dtype=jnp.float32)[None, None, :] < cand_n[..., None]
+    )
+    return cand_pts, cand_valid
+
 
 @functools.partial(jax.jit, static_argnames=("voxel_size", "probes",
                                              "num_shards", "neighborhood"))
@@ -355,60 +484,10 @@ def gather_neighborhood(m: VoxelHashMap, queries, *, voxel_size: float,
     Returns (cand_pts (N,V,B,3), cand_valid (N,V,B)).
     """
     del probes
-    assert neighborhood in (4, 8, 27)
-    G = m.groups
-    B = m.bucket
-    N = queries.shape[0]
-
-    qc = voxel_coords(queries, voxel_size)                     # (N,3)
-    if neighborhood == 27:
-        nc = qc[:, None, :] + _NEIGHBOR_OFFSETS[None, :, :]    # (N,27,3)
-    else:
-        # offset 0 or ±1 per axis, toward the query's nearest corner
-        frac = queries / voxel_size - qc.astype(queries.dtype)   # [0,1)
-        step = jnp.where(frac >= 0.5, 1, -1).astype(jnp.int32)   # (N,3)
-        if neighborhood == 8:
-            combos = _CORNER_COMBOS
-        else:  # 4: self + the 3 face neighbors toward the nearest corner
-            combos = jnp.concatenate(
-                [jnp.zeros((1, 3), jnp.int32), jnp.eye(3, dtype=jnp.int32)])
-        nc = qc[:, None, :] + combos[None, :, :] * step[:, None, :]
-    if num_shards > 1:
-        owned, g = _shard_split(_hash(nc, G * num_shards),
-                                G, num_shards, shard_index)
-    else:
-        owned = None
-        g = _hash(nc, G)
-
-    V = nc.shape[1]
-    EW = _entry_width(B)
-    rows = m.table[g]                                          # (N,V,W) — THE gather
-    ent = rows.reshape(N, V, E, EW)
-    # meta extraction via a PROJECTION MATMUL, not lane slicing: a strided
-    # ent[..., :4] read of the interleaved entry blocks forces a repack that
-    # costs ~3× the whole consumer on TPU (measured v5e); contracting the
-    # contiguous EW axis against a constant selector keeps every big-tensor
-    # access contiguous (and rides the MXU).
-    proj = jnp.zeros((EW, 4), jnp.float32).at[
-        jnp.arange(4), jnp.arange(4)].set(1.0)
-    meta4 = jnp.einsum("nvec,cm->nvem", ent, proj)             # (N,V,E,4)
-    coords = meta4[..., :3]                                    # f32 values
-    counts = meta4[..., 3]                                     # (N,V,E) f32
-    sel = (counts > 0) & jnp.all(
-        coords == nc[..., None, :].astype(jnp.float32), axis=-1)
-    if owned is not None:
-        sel = sel & owned[..., None]
-
-    # one-hot entry selection (≤1 true per (query, voxel)) — contraction over
-    # the full contiguous EW axis; no second gather, no strided reads.
-    sel_f = sel.astype(jnp.float32)
-    cand_full = jnp.einsum("nve,nvec->nvc", sel_f, ent)        # (N,V,EW)
-    cand_pts = cand_full[..., 4:].reshape(N, V, B, 4)[..., :3]
-    cand_n = cand_full[..., 3]
-    cand_valid = (
-        jnp.arange(B, dtype=jnp.float32)[None, None, :] < cand_n[..., None]
-    )
-    return cand_pts, cand_valid
+    rows, nc, owned = gather_rows(
+        m, queries, voxel_size=voxel_size, num_shards=num_shards,
+        shard_index=shard_index, neighborhood=neighborhood)
+    return cands_from_rows(rows, nc, owned, m.bucket)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -457,16 +536,27 @@ def evict_far(m: VoxelHashMap, center, radius: float, *, voxel_size: float) -> V
     occupied = counts > 0
     removed = jnp.sum(jnp.where(occupied & ~keep, counts, 0.0)).astype(jnp.int32)
     ent = ent.at[:, 3].set(jnp.where(keep, counts, 0.0))
-    return m._replace(table=ent.reshape(G, E * EW),
+    # planar mirror: same count zeroing on the count plane (lanes 3E..4E)
+    keep_ge = keep.reshape(G, E)
+    pt = m.ptable
+    pcnt = jnp.where(keep_ge, pt[:, 3 * E:4 * E], 0.0)
+    pt = jnp.concatenate([pt[:, :3 * E], pcnt, pt[:, 4 * E:]], axis=1)
+    return m._replace(table=ent.reshape(G, E * EW), ptable=pt,
                       num_points=m.num_points - removed)
 
 
 def knn(m: VoxelHashMap, queries, *, voxel_size: float, k: int, probes: int = 0,
         num_shards: int = 1, shard_index=0, neighborhood: int = 27
         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Bounded kNN over the voxel neighborhood (gather + top-k)."""
-    cand_pts, cand_valid = gather_neighborhood(
-        m, queries, voxel_size=voxel_size, probes=probes,
-        num_shards=num_shards, shard_index=shard_index,
-        neighborhood=neighborhood)
+    """Bounded kNN over the voxel neighborhood (gather + fused select/top-k)."""
+    rows, nc, owned = gather_rows(
+        m, queries, voxel_size=voxel_size, num_shards=num_shards,
+        shard_index=shard_index, neighborhood=neighborhood)
+    platform = jax.devices()[0].platform
+    if owned is None and platform in ("tpu", "axon"):
+        from fast_limo_tpu.ops import knn_rows
+
+        return knn_rows.topk_from_rows_tpu(rows, nc, queries, E=E,
+                                           B=m.bucket, k=k)
+    cand_pts, cand_valid = cands_from_rows(rows, nc, owned, m.bucket)
     return topk_from_candidates(cand_pts, cand_valid, queries, k=k)

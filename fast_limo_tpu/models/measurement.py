@@ -67,19 +67,28 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
         pc_valid = jax.lax.dynamic_slice_in_dim(pc_valid, qidx * Nq, Nq, axis=0)
 
     def _gather(glob):
+        """Raw neighborhood gather → (rows, nc, owned)."""
         if shard_axis is None:
-            return mp.gather_neighborhood(
-                m, glob, voxel_size=voxel_size, probes=probes,
-                neighborhood=neighborhood)
+            return mp.gather_rows(
+                m, glob, voxel_size=voxel_size, neighborhood=neighborhood)
         import jax
 
         idx = jax.lax.axis_index(shard_axis)
-        return mp.gather_neighborhood(
-            m, glob, voxel_size=voxel_size, probes=probes,
-            num_shards=num_shards, shard_index=idx,
-            neighborhood=neighborhood)
+        return mp.gather_rows(
+            m, glob, voxel_size=voxel_size, num_shards=num_shards,
+            shard_index=idx, neighborhood=neighborhood)
 
-    def _topk(cand_pts, cand_valid, glob):
+    def _topk(gathered, glob):
+        import jax as _jx
+
+        rows, nc, owned = gathered
+        if owned is None and _jx.devices()[0].platform in ("tpu", "axon"):
+            # fused entry-match + distance + k-min (ops/knn_rows.py)
+            from fast_limo_tpu.ops import knn_rows
+
+            return knn_rows.topk_from_rows_tpu(rows, nc, glob, E=mp.E,
+                                               B=m.bucket, k=k)
+        cand_pts, cand_valid = mp.cands_from_rows(rows, nc, owned, m.bucket)
         nbrs, sq, vld = mp.topk_from_candidates(cand_pts, cand_valid, glob, k=k)
         if shard_axis is None:
             return nbrs, sq, vld
@@ -97,10 +106,10 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
         nbrs = jnp.take_along_axis(nbr_cat, top[..., None], axis=1)
         return nbrs, sq, jnp.isfinite(sq)
 
-    def _match(glob, cached_cands=None):
+    def _match(glob, cached_rows=None):
         """kNN + plane fit + gates → (n_abcd, keep) at the given world pts."""
-        cand_pts, cand_valid = cached_cands if cached_cands is not None else _gather(glob)
-        nbrs, sq, vld = _topk(cand_pts, cand_valid, glob)
+        gathered = cached_rows if cached_rows is not None else _gather(glob)
+        nbrs, sq, vld = _topk(gathered, glob)
         n_abcd, good = plane_op.fit_planes(
             nbrs, sq, vld, num_match_points=k,
             max_dist_plane=max_dist_plane, plane_threshold=plane_threshold)

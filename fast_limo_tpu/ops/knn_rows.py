@@ -1,0 +1,171 @@
+"""Fused kNN selection kernel: raw gathered PLANAR group rows → k nearest.
+
+The kNN stage (reference Octree::knn, Octree.hpp:527-598; here a voxel-hash
+lookup) is: gather each query's V neighbor-voxel group rows (one XLA gather,
+per-row cost), then resolve the matching entry among the E entries of each
+group, mask bucket slots, compute squared distances, and keep the k smallest.
+
+The map's planar layout (models/mapper.py VoxelHashMap docstring) makes the
+decode pure static lane-plane slices: per neighbor voxel v the row region is
+
+    [vx×E | vy×E | vz×E | cnt×E | x slot-major E·B | y | z]
+
+so entry matching is an (BLK,E) compare, slot validity a B-fold lane TILE of
+it, and distances plain elementwise math — no per-lane register columns
+(which blow the 16 MB VMEM stack) and no one-hot selector matmuls (which
+burn ~1 ms of f32 MXU per scan; both alternatives measured on v5e).  The
+previous XLA chain additionally materialized (N,V,E,·) einsum intermediates
+and lane-padded candidate planes — ~5× the gathered bytes in HBM round
+trips.  Here only the (N,k) results reach HBM after the gather.
+
+`topk_from_rows_reference` is the identical-semantics jnp path (CPU tests,
+sharded mode).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+_BLK = 512  # queries per grid step
+
+
+def _kernel(rows_ref, nc_ref, qx_ref, qy_ref, qz_ref,
+            sq_ref, nx_ref, ny_ref, nz_ref,
+            *, V: int, E: int, B: int, k: int, WP: int):
+    f32 = jnp.float32
+    EB = E * B
+    BLK = rows_ref.shape[0]
+    qx, qy, qz = qx_ref[:, :], qy_ref[:, :], qz_ref[:, :]   # (BLK,1)
+
+    d2_parts, px_parts, py_parts, pz_parts = [], [], [], []
+    for v in range(V):
+        o = v * WP
+        vx = rows_ref[:, o:o + E]                        # (BLK,E)
+        vy = rows_ref[:, o + E:o + 2 * E]
+        vz = rows_ref[:, o + 2 * E:o + 3 * E]
+        cnt = rows_ref[:, o + 3 * E:o + 4 * E]
+        ncx = nc_ref[:, 4 * v:4 * v + 1]                 # (BLK,1)
+        ncy = nc_ref[:, 4 * v + 1:4 * v + 2]
+        ncz = nc_ref[:, 4 * v + 2:4 * v + 3]
+        # f32 mask (concatenating i1 vregs hits an unsupported Mosaic
+        # bitcast), tiled B-fold to slot-major lanes
+        match = ((cnt > 0.0) & (vx == ncx) & (vy == ncy)
+                 & (vz == ncz)).astype(f32)
+
+        x = rows_ref[:, o + 4 * E:o + 4 * E + EB]        # (BLK,EB) slot-major
+        y = rows_ref[:, o + 4 * E + EB:o + 4 * E + 2 * EB]
+        z = rows_ref[:, o + 4 * E + 2 * EB:o + 4 * E + 3 * EB]
+        matchT = jnp.concatenate([match] * B, axis=1)    # (BLK,EB)
+        cntT = jnp.concatenate([cnt] * B, axis=1)
+        s_row = (jax.lax.broadcasted_iota(jnp.int32, (BLK, EB), 1)
+                 // E).astype(f32)
+        ok = (matchT > 0.0) & (cntT > s_row)
+
+        dx = x - qx
+        dy = y - qy
+        dz = z - qz
+        d2_parts.append(jnp.where(ok, dx * dx + dy * dy + dz * dz, jnp.inf))
+        px_parts.append(x)
+        py_parts.append(y)
+        pz_parts.append(z)
+
+    d2 = jnp.concatenate(d2_parts, axis=1)               # (BLK, V·EB)
+    px = jnp.concatenate(px_parts, axis=1)
+    py = jnp.concatenate(py_parts, axis=1)
+    pz = jnp.concatenate(pz_parts, axis=1)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    for i in range(k):
+        m = jnp.min(d2, axis=1, keepdims=True)           # (BLK,1)
+        amin = jnp.argmin(d2, axis=1)[:, None]           # (BLK,1)
+        onehot = (col == amin).astype(f32)
+        sq_ref[:, i] = m[:, 0]
+        nx_ref[:, i] = jnp.sum(px * onehot, axis=1)
+        ny_ref[:, i] = jnp.sum(py * onehot, axis=1)
+        nz_ref[:, i] = jnp.sum(pz * onehot, axis=1)
+        d2 = jnp.where(col == amin, jnp.inf, d2)
+
+
+@functools.partial(jax.jit, static_argnames=("E", "B", "k", "interpret"))
+def topk_from_rows_tpu(rows, nc, queries, *, E: int, B: int, k: int,
+                       interpret: bool = False):
+    """rows (N,V,WP) f32 planar group rows, nc (N,V,3) int32 neighbor voxel
+    coords, queries (N,3) → (nbrs (N,k,3), sq (N,k) ascending, valid (N,k)).
+    """
+    N, V, WP = rows.shape
+    dtype = queries.dtype
+    WA = (V * WP + 127) // 128 * 128   # lane-pad; padded lanes never sliced
+    # queries per grid step, scaled to the VMEM stack budget (~16 MB): the
+    # live set is the row block plus ~10 (BLK, V·E·B) candidate planes
+    blk = _BLK
+    while blk > 64 and blk * (WA + 12 * V * E * B) * 4 > 8 * 2 ** 20:
+        blk //= 2
+    Np = (N + blk - 1) // blk * blk
+
+    rows2 = rows.reshape(N, V * WP)
+    if WA > V * WP:
+        rows2 = jnp.pad(rows2, ((0, 0), (0, WA - V * WP)))
+    # coords padded to 4 lanes per voxel for aligned slicing
+    ncf = jnp.concatenate(
+        [nc.astype(jnp.float32),
+         jnp.zeros((N, V, 1), jnp.float32)], axis=-1).reshape(N, V * 4)
+
+    def padN(a, val=0.0):
+        return jnp.pad(a, ((0, Np - N), (0, 0)), constant_values=val)
+
+    rows2 = padN(rows2)
+    ncf = padN(ncf, -1.0)   # coord -1 ≠ any stored coord of an empty row (0)
+    qx = padN(queries[:, 0:1].astype(jnp.float32))
+    qy = padN(queries[:, 1:2].astype(jnp.float32))
+    qz = padN(queries[:, 2:3].astype(jnp.float32))
+
+    row_spec = pl.BlockSpec((blk, WA), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    nc_spec = pl.BlockSpec((blk, V * 4), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((blk, k), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    sq, nx, ny, nz = pl.pallas_call(
+        functools.partial(_kernel, V=V, E=E, B=B, k=k, WP=WP),
+        grid=(Np // blk,),
+        in_specs=[row_spec, nc_spec, q_spec, q_spec, q_spec],
+        out_specs=(out_spec,) * 4,
+        out_shape=tuple(jax.ShapeDtypeStruct((Np, k), jnp.float32)
+                        for _ in range(4)),
+        interpret=interpret,
+    )(rows2, ncf, qx, qy, qz)
+
+    sq = sq[:N].astype(dtype)
+    nbrs = jnp.stack([nx[:N], ny[:N], nz[:N]], axis=-1).astype(dtype)
+    valid = jnp.isfinite(sq)
+    return nbrs, jnp.where(valid, sq, jnp.inf), valid
+
+
+def topk_from_rows_reference(rows, nc, queries, *, E: int, B: int, k: int):
+    """Identical semantics in plain jnp (planar cands_from_rows + top_k)."""
+    from fast_limo_tpu.models import mapper as mp
+
+    cand_pts, cand_valid = mp.cands_from_rows(rows, nc, None, B)
+    N = queries.shape[0]
+    flat_pts = cand_pts.reshape(N, -1, 3).astype(queries.dtype)
+    flat_valid = cand_valid.reshape(N, -1)
+    diff = flat_pts - queries[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    d2 = jnp.where(flat_valid, d2, jnp.inf)
+    neg, idx = jax.lax.top_k(-d2, k)
+    sq = -neg
+    nbrs = jnp.take_along_axis(flat_pts, idx[..., None], axis=1)
+    valid = jnp.isfinite(sq)
+    return nbrs, jnp.where(valid, sq, jnp.inf), valid

@@ -56,7 +56,7 @@ def _state_specs(cfg: Config) -> pl.LIOState:
     from fast_limo_tpu.models import mapper, state as st
 
     map_spec = mapper.VoxelHashMap(
-        table=P(AXIS), num_points=P(), last_time=P())
+        table=P(AXIS), ptable=P(AXIS), num_points=P(), last_time=P())
     nav = st.NavState(*([P()] * 8))
     return pl.LIOState(
         x=nav, P=P(), map=map_spec,

@@ -156,3 +156,46 @@ class TestCornerNeighborhood:
             pool = np.sort(d27[i])
             for d in np.asarray(sq8[i])[np.asarray(v8[i])]:
                 assert np.any(np.isclose(pool, d, rtol=1e-5)), (i, d)
+
+
+class TestPlanarMirror:
+    """ptable must stay an exact planar mirror of the entry-major table."""
+
+    @staticmethod
+    def _planar_from_table(m):
+        G = m.groups
+        B = m.bucket
+        E = mapper.E
+        ent = np.asarray(m.table).reshape(G, E, 4 + 4 * B)
+        planes = [ent[:, :, 0], ent[:, :, 1], ent[:, :, 2], ent[:, :, 3]]
+        for c in range(3):
+            for s in range(B):
+                planes.append(ent[:, :, 4 + 4 * s + c])
+        return np.concatenate(planes, axis=1)
+
+    def test_mirror_after_incremental_inserts(self, rng):
+        m = make_map(bucket=3, cap=1024)
+        for i in range(4):
+            pts = rng.uniform(-6, 6, (300, 3)).astype(np.float32)
+            valid = jnp.asarray(rng.random(300) < 0.9)
+            m = mapper.insert(m, jnp.asarray(pts), valid, voxel_size=VOX)
+            np.testing.assert_allclose(
+                np.asarray(m.ptable), self._planar_from_table(m),
+                rtol=0, atol=1e-5)
+
+    def test_mirror_after_evict_and_reuse(self, rng):
+        m = make_map(bucket=3, cap=1024)
+        pts = rng.uniform(-6, 6, (400, 3)).astype(np.float32)
+        m = mapper.insert(m, jnp.asarray(pts), jnp.ones(400, bool), voxel_size=VOX)
+        m = mapper.evict_far(m, jnp.zeros(3), radius=2.0, voxel_size=VOX)
+        # count planes zeroed consistently
+        mirror = self._planar_from_table(m)
+        np.testing.assert_array_equal(
+            np.asarray(m.ptable)[:, 3 * mapper.E:4 * mapper.E],
+            mirror[:, 3 * mapper.E:4 * mapper.E])
+        # re-insert into evicted slots: stale lanes must be cleared exactly
+        pts2 = rng.uniform(-6, 6, (400, 3)).astype(np.float32)
+        m = mapper.insert(m, jnp.asarray(pts2), jnp.ones(400, bool), voxel_size=VOX)
+        # the rebuilt mirror is an exact lane permutation of the table
+        np.testing.assert_array_equal(np.asarray(m.ptable),
+                                      self._planar_from_table(m))
