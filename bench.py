@@ -91,6 +91,11 @@ def kitti_like_cfg() -> Config:
     # verified unchanged): halves the per-scan transfer on the tunnel
     # (measured 66 → 98 scans/s on the tunneled v5e)
     cfg.tpu.quantize_transfer = 0.004
+    # insert/output buffer shape (insert cost is sort-row driven).  The
+    # leaf-1.0 downsampled synthetic scan stays well under 10k points, so
+    # this cap never binds — reference-exact "full" insertion at the same
+    # insert shape the matching cap implies.
+    cfg.tpu.max_insert_points = 10000
     return cfg
 
 

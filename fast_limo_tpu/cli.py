@@ -107,6 +107,11 @@ def main(argv=None):
     common.add_argument("--chunk", type=int, default=argparse.SUPPRESS,
                         help="scans per jitted dispatch (replay throughput "
                              "mode; >1 implies --no-loop)")
+    common.add_argument("--platform", default=argparse.SUPPRESS,
+                        help="jax platform override, e.g. 'cpu' (the "
+                             "container's JAX_PLATFORMS env var is rewritten "
+                             "by the accelerator plugin's sitecustomize, so "
+                             "the override must go through jax.config)")
 
     p = argparse.ArgumentParser(prog="fast_limo_tpu", parents=[common])
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -126,9 +131,12 @@ def main(argv=None):
     args = p.parse_args(argv)
     for dest, dflt in (("config", None), ("out", None),
                        ("save_session", None), ("no_loop", False),
-                       ("chunk", 0)):
+                       ("chunk", 0), ("platform", None)):
         if not hasattr(args, dest):
             setattr(args, dest, dflt)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     return args.fn(args)
 
 

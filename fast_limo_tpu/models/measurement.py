@@ -31,7 +31,7 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
                  shard_axis: str = None, num_shards: int = 1,
                  query_axis: str = None, num_query_shards: int = 1,
                  knn_refresh: str = "always", x0: st.NavState = None,
-                 neighborhood: int = 27):
+                 neighborhood: int = 27, with_debug: bool = False):
     """Build the measurement closures over baselink-frame points pc.
 
     Returns ``(h_rows, h_stats)`` where ``h_rows(x) -> (H (Nq,12), h (Nq,))``
@@ -55,6 +55,12 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
     (the predicted pose) and only re-ranks distances/planes per iteration —
     iterations move the pose by millimeters, so the candidate set is
     unchanged in practice while the dominant gather cost is paid once.
+
+    ``with_debug=True`` additionally returns a third closure
+    ``h_debug(x) -> (n_abcd (Nq,4), keep (Nq,), dist (Nq,))`` — the raw
+    match data (plane coefficients, validity, signed distances) behind the
+    reference's match-marker debug publisher (src/main.cpp:203,
+    ROSutils.hpp:216-252).
     """
     assert knn_refresh in ("always", "first")
 
@@ -201,4 +207,13 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
             HTh = jax.lax.psum(HTh, query_axis)
         return HTH, HTh
 
-    return h_rows, h_stats
+    if not with_debug:
+        return h_rows, h_stats
+
+    def h_debug(x: st.NavState):
+        glob = so3.quat_rotate(x.rot, pc) + x.pos
+        n_abcd, keep = frozen if knn_refresh == "first" else _match(glob)
+        dist = plane_op.point_to_plane(n_abcd, glob)
+        return n_abcd, keep, dist
+
+    return h_rows, h_stats, h_debug

@@ -183,12 +183,17 @@ def build_scan_step(cfg: Config, *, donate: bool = True, jit: bool = True,
         p_xt2, _p_world = dsk.deskew(
             pts, t_abs, pvalid, frames, x_t2, x_t2.rot_LI, x_t2.t_LI)
 
-        # ---- voxel-grid downsample → pc2match (cap MAX_NUM_PC2MATCH) ----
+        # ---- voxel-grid downsample (Localizer.cpp:313-321) ----
         if cfg.filters.voxel_active:
             pc_ds, ds_valid = voxel.voxel_downsample(
                 p_xt2, pvalid, float(cfg.filters.leafSize[0]))
         else:
             pc_ds, ds_valid = p_xt2, pvalid
+        if cfg.tpu.insert_population == "full" and cfg.tpu.max_insert_points:
+            pc_ds = pc_ds[:cfg.tpu.max_insert_points]
+            ds_valid = ds_valid[:cfg.tpu.max_insert_points]
+        # matching reads only the first MAX_NUM_PC2MATCH points — the
+        # reference caps MATCHING only (Mapper.cpp:63-69)
         pc2match = pc_ds[:n_pc2match]
         pc2_valid = ds_valid[:n_pc2match]
 
@@ -217,14 +222,22 @@ def build_scan_step(cfg: Config, *, donate: bool = True, jit: bool = True,
         P_u = jnp.where(do_update, P_u, P_t2)
 
         # ---- register scan & grow the map (Mapper::add) ----
-        w_scan = so3.quat_rotate(x_u.rot, pc2match) + x_u.pos
+        # "full" (reference-exact): the ENTIRE downsampled cloud is
+        # registered and inserted (Localizer.cpp:358-374 transforms pc2match
+        # = the full downsampled scan; MAX_NUM_PC2MATCH binds matching only,
+        # Mapper.cpp:63-69). "pc2match" caps insertion too — a speed knob.
+        if cfg.tpu.insert_population == "full":
+            ins_pts, ins_valid = pc_ds, ds_valid
+        else:
+            ins_pts, ins_valid = pc2match, pc2_valid
+        w_scan = so3.quat_rotate(x_u.rot, ins_pts) + x_u.pos
         if shard_axis is None:
             shard_index = 0
         else:
             shard_index = jax.lax.axis_index(shard_axis)
         insert_probes = cfg.tpu.insert_probes or probes
         new_map = mapper.insert(
-            s.map, w_scan, pc2_valid & do_update,
+            s.map, w_scan, ins_valid & do_update,
             voxel_size=voxel_size, probes=insert_probes,
             num_shards=num_shards, shard_index=shard_index)
         if shard_axis is not None:
@@ -255,9 +268,9 @@ def build_scan_step(cfg: Config, *, donate: bool = True, jit: bool = True,
 
         out = ScanOutput(
             pos=x_u.pos, quat=x_u.rot, vel=x_u.vel,
-            final_scan=w_scan, final_valid=pc2_valid & do_update,
-            scan_body=pc2match,
-            descriptor=sc.descriptor(pc2match, pc2_valid),
+            final_scan=w_scan, final_valid=ins_valid & do_update,
+            scan_body=ins_pts,
+            descriptor=sc.descriptor(ins_pts, ins_valid),
             n_iters=n_iters, n_deskewed=jnp.sum(pvalid),
             n_pc2match=jnp.sum(pc2_valid), scan_stamp=scan_end,
         )

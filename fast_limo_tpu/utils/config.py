@@ -127,6 +127,22 @@ class TPUConfig:
                                           # of tunneled/remote accelerators at
                                           # the price of chunk·scan_period
                                           # latency; real-time keeps 1)
+    insert_population: str = "full"       # "full" (reference-exact: register +
+                                          # insert the WHOLE downsampled cloud,
+                                          # Localizer.cpp:358-374 — the
+                                          # MAX_NUM_PC2MATCH cap binds matching
+                                          # only, Mapper.cpp:63-69) |
+                                          # "pc2match" (cap insertion/outputs at
+                                          # MAX_NUM_PC2MATCH too — a speed knob;
+                                          # thins the map when the downsampled
+                                          # scan exceeds the cap)
+    max_insert_points: int = 0            # static shape cap on the insert/output
+                                          # cloud under insert_population="full"
+                                          # (0 → max_points_per_scan). Insert
+                                          # cost is SHAPE-driven (sort+scatter
+                                          # rows), so runs whose downsampled
+                                          # scans stay under a bound can shrink
+                                          # this without changing results.
     dtype: str = "float32"
     filter_dtype: str = "float32"         # covariance algebra dtype
     mesh_axes: str = "map"                # device axis name for map sharding

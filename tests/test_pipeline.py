@@ -247,6 +247,64 @@ def test_chunked_dispatch_matches_single(seq):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+class TestInsertPopulation:
+    """Reference-exact insertion: MAX_NUM_PC2MATCH caps MATCHING only
+    (Mapper.cpp:63-69); the full downsampled cloud is registered and
+    inserted (Localizer.cpp:358-374)."""
+
+    def _run(self, cfg, n=3):
+        s = synthetic.SyntheticSequence(
+            seed=11, n_scans=n, points_per_scan=cfg.tpu.max_points_per_scan,
+            noise_pt=0.01, noise_gyro=5e-4, noise_acc=5e-3)
+        return run_odometry(cfg, s, n)
+
+    def test_full_inserts_past_matching_cap(self):
+        cfg = small_cfg()
+        cfg.filters.leafSize = [0.3, 0.3, 0.3]     # dense downsample
+        cfg.ikfom.mapping.MAX_NUM_PC2MATCH = 512   # tight matching cap
+        cfg.tpu.insert_population = "full"
+        loc_full = self._run(cfg)
+        cfg2 = small_cfg()
+        cfg2.filters.leafSize = [0.3, 0.3, 0.3]
+        cfg2.ikfom.mapping.MAX_NUM_PC2MATCH = 512
+        cfg2.tpu.insert_population = "pc2match"
+        loc_cap = self._run(cfg2)
+
+        n_full = int(loc_full.state.map.num_points)
+        n_cap = int(loc_cap.state.map.num_points)
+        # full mode must insert well beyond the matching cap per scan
+        assert n_full > 3 * 512, f"full map only {n_full} points"
+        assert n_full > n_cap, (n_full, n_cap)
+        # matching itself stays capped in both
+        for t in loc_full.trajectory:
+            assert t["n_pc2match"] <= 512
+        # output cloud covers the full downsampled scan in full mode
+        out = loc_full.last_output
+        assert int(np.asarray(out.final_valid).sum()) > 512
+
+    def test_full_equals_pc2match_when_under_cap(self):
+        """When the downsampled count never reaches the cap, the two modes
+        are the same algorithm — identical poses and map growth."""
+        import jax
+
+        cfg_a = small_cfg()            # leaf 0.5, 4096 pts: count << 4096 cap
+        cfg_a.tpu.insert_population = "full"
+        cfg_b = small_cfg()
+        cfg_b.tpu.insert_population = "pc2match"
+        la, lb = self._run(cfg_a, 4), self._run(cfg_b, 4)
+        for ta, tb in zip(la.trajectory, lb.trajectory):
+            np.testing.assert_array_equal(ta["pos"], tb["pos"])
+            np.testing.assert_array_equal(ta["quat"], tb["quat"])
+        assert int(la.state.map.num_points) == int(lb.state.map.num_points)
+
+    def test_max_insert_points_caps_shape(self):
+        cfg = small_cfg()
+        cfg.tpu.insert_population = "full"
+        cfg.tpu.max_insert_points = 2048
+        loc = self._run(cfg)
+        assert loc.last_output.final_scan.shape[0] == 2048
+
+
 def test_trajectory_recovery_estimating_extrinsics(seq):
     """f32 end-to-end WITH extrinsic estimation (the default/CLI config).
 
