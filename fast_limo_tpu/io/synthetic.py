@@ -228,11 +228,20 @@ class SyntheticSequence:
         self.traj = self.traj or Trajectory()
         if self.world is None:
             self.world = build_world(self.seed)
-        self._rng = np.random.default_rng(self.seed + 1)
+
+    # Every draw is keyed by (seed, stream, index) so the data is a pure
+    # function of the request: scan(i) returns bit-identical points no
+    # matter how many times or in what order it (or imu_stream) is called.
+    # (A shared stateful rng here made "fixed-seed" ATE comparisons across
+    # harnesses silently use different noise realizations.)
+    def _stream_rng(self, stream: int, i: int = 0):
+        return np.random.default_rng(
+            np.random.SeedSequence([self.seed + 1, stream, i]))
 
     # ---- IMU ----
     def imu_stream(self):
         """All IMU samples covering the sequence: (stamps, acc, gyro)."""
+        rng = self._stream_rng(0)
         t_end = (self.n_scans + 1) / self.scan_rate
         stamps = np.arange(1, int(t_end * self.imu_rate) + 2) / self.imu_rate
         R = self.traj.rot(stamps)                       # (K,3,3)
@@ -242,13 +251,14 @@ class SyntheticSequence:
         acc = np.einsum("kij,kj->ki", R.transpose(0, 2, 1), f_w)
         gyro = np.stack([np.zeros_like(stamps), np.zeros_like(stamps),
                          self.traj.yaw_rate(stamps)], axis=-1)
-        acc = acc + self.bias_acc + self._rng.normal(0, self.noise_acc, acc.shape)
-        gyro = gyro + self.bias_gyro + self._rng.normal(0, self.noise_gyro, gyro.shape)
+        acc = acc + self.bias_acc + rng.normal(0, self.noise_acc, acc.shape)
+        gyro = gyro + self.bias_gyro + rng.normal(0, self.noise_gyro, gyro.shape)
         return stamps, acc.astype(np.float32), gyro.astype(np.float32)
 
     # ---- scans ----
     def scan(self, i: int):
         """Scan i: (stamp, points (M,3) lidar frame, t_raw (M,) velodyne-relative)."""
+        rng = self._stream_rng(1, i)
         stamp = (i + 1) / self.scan_rate
         M = self.points_per_scan
         # visible world points near the sensor at scan start
@@ -256,19 +266,19 @@ class SyntheticSequence:
         d = np.linalg.norm(self.world - p0.astype(np.float32), axis=1)
         vis = np.nonzero((d > self.min_range) & (d < self.max_range))[0]
         if len(vis) < M:
-            pick = self._rng.choice(vis, M, replace=True)
+            pick = rng.choice(vis, M, replace=True)
         else:
-            pick = self._rng.choice(vis, M, replace=False)
+            pick = rng.choice(vis, M, replace=False)
         pw = self.world[pick].astype(np.float64)
 
         # firing times spread over the sweep
-        t_rel = self._rng.uniform(0.0, 1.0 / self.scan_rate, M)
+        t_rel = rng.uniform(0.0, 1.0 / self.scan_rate, M)
         t_abs = stamp + t_rel
         # exact sensor pose at firing time
         R = self.traj.rot(t_abs)                        # (M,3,3)
         p = self.traj.pos(t_abs)
         pl = np.einsum("mij,mj->mi", R.transpose(0, 2, 1), pw - p)
-        pl += self._rng.normal(0, self.noise_pt, pl.shape)
+        pl += rng.normal(0, self.noise_pt, pl.shape)
         return stamp, pl.astype(np.float32), t_rel.astype(np.float32)
 
     def gt_pose(self, t):

@@ -53,6 +53,7 @@ class Localizer:
         self._imu_queue: deque = deque()                  # (stamp, acc, gyro) pending
         self._scan_queue: deque = deque()
         self._newest_imu_stamp: float = -np.inf
+        self._last_consumed_stamp: float = -np.inf        # host mirror of last_prop_time
         self._imu_period_est: float = 1.0 / 200.0
 
         # calibration (Localizer.cpp:411-509)
@@ -66,6 +67,8 @@ class Localizer:
         self.init_bg = np.asarray(cfg.intrinsics.gyro_bias, float)
         self.init_ba = np.asarray(cfg.intrinsics.accel_bias, float)
 
+        self._prop_step = None                            # IMU-rate propagate (lazy)
+        self._prop_cache: Optional[tuple] = None          # (key, (x, P, abs_t))
         self._raw_outputs: List[tuple] = []               # (epoch|tuple, ScanOutput) device-side
         self._materialized: List[dict] = []               # lazily converted
         self._materialized_entries = 0                    # raw entries converted
@@ -184,6 +187,8 @@ class Localizer:
             batch.append(self._imu_queue.popleft())
             if batch[-1][0] >= scan.last_pt_time:
                 break
+        if batch:
+            self._last_consumed_stamp = batch[-1][0]
 
         K = cfg.tpu.imu_batch
         if len(batch) > K:
@@ -384,20 +389,72 @@ class Localizer:
     def stamps(self) -> np.ndarray:
         return np.array([t["stamp"] for t in self.trajectory])
 
+    def _propagated(self):
+        """(x, P, abs_time) propagated through every IMU sample received
+        since the last scan dispatch — the IMU-rate odometry state the
+        reference's predict thread publishes per tick (updateIMU →
+        propagateImu → getWorldState, Localizer.cpp:401-531, main.cpp:78-94).
+
+        Pure read: the queued samples stay queued (the next scan_step
+        re-consumes them), so querying never perturbs the trajectory.
+        Returns None when there is nothing fresher than the carried state.
+        One small jitted dispatch per (new-data) query; cached otherwise."""
+        if self.state is None or self.epoch is None or not self._imu_queue:
+            return None
+        key = (len(self._raw_outputs), len(self._imu_queue),
+               self._newest_imu_stamp)
+        if self._prop_cache is not None and self._prop_cache[0] == key:
+            return self._prop_cache[1]
+        if self._prop_step is None:
+            self._prop_step = pl.build_prop_step(self.cfg)
+
+        K = self.cfg.tpu.imu_batch
+        s = self.state
+        x, P = s.x, s.P
+        t_rel, w_raw = s.last_prop_time, s.last_w_raw_bl
+        # host mirror of last_prop_time avoids forcing the (possibly still
+        # computing) carried device scalar
+        pend = [p for p in self._imu_queue if p[0] > self._last_consumed_stamp]
+        if not pend:
+            return None
+        for i0 in range(0, len(pend), K):
+            chunk = pend[i0:i0 + K]
+            pack = np.zeros((K, 8), np.float32)
+            for i, (ts, a, g) in enumerate(chunk):
+                pack[i, 0:3] = a
+                pack[i, 3:6] = g
+                pack[i, 6] = ts - self.epoch
+            pack[0, 7] = len(chunk)
+            x, P, t_rel, w_raw = self._prop_step(
+                x, P, t_rel, w_raw, s.bias_accel_corr, s.bias_gyro_corr,
+                jnp.asarray(pack))
+        result = (x, P, self.epoch + float(t_rel))
+        self._prop_cache = (key, result)
+        return result
+
+    def _query_xP(self):
+        """(x, P, abs_time) — IMU-rate fresh when post-scan samples exist."""
+        prop = self._propagated()
+        if prop is not None:
+            return prop
+        return (self.state.x, self.state.P,
+                (self.epoch or 0.0) + float(self.state.last_prop_time))
+
     def get_world_state(self) -> dict:
         """World-frame state (getWorldState, Localizer.cpp:175-189):
-        velocity expressed in the body frame, like the reference."""
+        velocity expressed in the body frame, like the reference. Fresh at
+        IMU rate — propagated through samples received since the last scan."""
         if self.state is None:
             return {}
         from fast_limo_tpu.ops import so3
-        x = self.state.x
+        x, _P, t = self._query_xP()
         v_body = so3.quat_rotate(so3.quat_conj(x.rot), x.vel)
         return {
             "pos": np.asarray(x.pos), "quat": np.asarray(x.rot),
             "vel_body": np.asarray(v_body),
             "bg": np.asarray(x.bg), "ba": np.asarray(x.ba),
             "grav": np.asarray(x.grav),
-            "time": (self.epoch or 0.0) + float(self.state.last_prop_time),
+            "time": t,
         }
 
     def get_body_state(self) -> dict:
@@ -407,8 +464,7 @@ class Localizer:
         if not out:
             return out
         from fast_limo_tpu.ops import so3
-        import jax.numpy as jnp
-        x = self.state.x
+        x, _P, _t = self._query_xP()
         out["pos"] = np.asarray(x.pos + x.t_LI)
         out["quat"] = np.asarray(so3.quat_mul(x.rot, x.rot_LI))
         return out
@@ -418,7 +474,7 @@ class Localizer:
         (getPoseCovariance, Localizer.cpp:209-224 swaps the rot/pos blocks)."""
         if self.state is None:
             return np.zeros((6, 6))
-        P = np.asarray(self.state.P)
+        P = np.asarray(self._query_xP()[1])
         out = np.zeros((6, 6))
         out[0:3, 0:3] = P[0:3, 0:3]       # filter layout: pos first already
         out[0:3, 3:6] = P[0:3, 3:6]
@@ -431,7 +487,7 @@ class Localizer:
         linear block from the filter, angular block = gyro noise."""
         if self.state is None:
             return np.zeros((6, 6))
-        P = np.asarray(self.state.P)
+        P = np.asarray(self._query_xP()[1])
         out = np.zeros((6, 6))
         out[0:3, 0:3] = P[12:15, 12:15]
         out[3:6, 3:6] = np.eye(3) * self.cfg.ikfom.cov_gyro
@@ -489,6 +545,8 @@ class Localizer:
         self._imu_queue.clear()
         self._scan_queue.clear()
         self._newest_imu_stamp = -np.inf
+        self._last_consumed_stamp = -np.inf
+        self._prop_cache = None
         self._first_imu_stamp = None
         if self.state is not None:
             self.state = self.state._replace(

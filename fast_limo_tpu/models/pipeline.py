@@ -403,15 +403,25 @@ def build_scan_chunk_step(cfg: Config, *, donate: bool = True):
     return jax.jit(chunk_step, donate_argnums=(0,) if donate else ())
 
 
-def build_imu_step(cfg: Config):
-    """Single-sample streaming predict for IMU-rate odometry output.
+def build_prop_step(cfg: Config):
+    """IMU-rate odometry propagation (updateIMU path, Localizer.cpp:401-531).
 
-    The offline/throughput path batches predictions inside scan_step; online
-    deployments can additionally call this per IMU tick to publish
-    world/body odometry between scans (updateIMU path, Localizer.cpp:401-531)
-    without touching the scan pipeline's carried state.
+    The reference publishes world/body odometry + covariances on EVERY IMU
+    tick from its predict-only thread (src/main.cpp:78-94); the TPU-native
+    equivalent is this pure jitted function: it reads the scan pipeline's
+    carried posterior plus the IMU samples received since, and returns the
+    propagated (x, P, stamp, w_raw_bl) WITHOUT touching the carried state —
+    the same samples are re-consumed by the next scan_step, so querying
+    between scans never perturbs the trajectory.
+
+    ``imu_pack`` has the (K,8) layout of `build_scan_step_packed`
+    ([acc(3), gyro(3), stamp, aux]; aux[0] = n_imu); stamps are relative to
+    the CURRENT epoch (no rebase — epochs only advance at scan dispatch).
+    Batches longer than K chain through repeated calls via the returned
+    carries (stamp, w_raw_bl).
     """
     dtype = jnp.dtype(cfg.tpu.dtype)
+    K = cfg.tpu.imu_batch
     R_imu2bl = jnp.asarray(
         np.array(cfg.extrinsics.imu2baselink_R, np.float64).reshape(3, 3).T, dtype)
     t_imu2bl = jnp.asarray(cfg.extrinsics.imu2baselink_t, dtype)
@@ -419,17 +429,22 @@ def build_imu_step(cfg: Config):
     Q = proc.process_noise_Q(cfg.ikfom.cov_gyro, cfg.ikfom.cov_acc,
                              cfg.ikfom.cov_bias_gyro, cfg.ikfom.cov_bias_acc, dtype)
 
-    def imu_step(x, P, prev_state, acc_raw, gyro_raw, stamp, prev_stamp):
-        """(x', P', aux) — aux carries the baselink-frame raw gyro for the
-        lever-arm chain and the corrected measurements."""
+    def prop_step(x, P, last_prop_time, last_w_raw_bl, ba_corr, bg_corr,
+                  imu_pack):
+        n_imu = imu_pack[0, 7].astype(jnp.int32)
+        stamp = imu_pack[:, 6]
         acc_bl, gyro_bl, dt = preprocess.imu_to_baselink(
-            acc_raw[None], gyro_raw[None], stamp[None],
-            prev_stamp, prev_state["w_raw_bl"],
+            imu_pack[:, 0:3], imu_pack[:, 3:6], stamp,
+            last_prop_time, last_w_raw_bl,
             R_imu2bl=R_imu2bl, t_imu2bl=t_imu2bl)
         acc_c, gyro_c = preprocess.apply_intrinsics(
-            acc_bl, gyro_bl, sm, prev_state["ba_corr"], prev_state["bg_corr"])
-        x2, P2 = iekf.predict(x, P, acc_c[0], gyro_c[0], dt[0], Q)
-        aux = {"w_raw_bl": gyro_bl[0], "w": gyro_c[0], "a": acc_c[0]}
-        return x2, P2, aux
+            acc_bl, gyro_bl, sm, ba_corr, bg_corr)
+        imu = {"acc": acc_c, "gyro": gyro_c, "dt": dt.astype(dtype),
+               "stamp": stamp, "valid": jnp.arange(K) < n_imu}
+        x2, P2, _xs = iekf.predict_scan(x, P, imu, Q)
+        last_i = jnp.maximum(n_imu - 1, 0)
+        t2 = jnp.where(n_imu > 0, stamp[last_i], last_prop_time)
+        w2 = jnp.where(n_imu > 0, gyro_bl[last_i], last_w_raw_bl)
+        return x2, P2, t2, w2
 
-    return jax.jit(imu_step)
+    return jax.jit(prop_step)
