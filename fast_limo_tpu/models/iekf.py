@@ -64,7 +64,7 @@ def predict(x: st.NavState, P, acc, gyro, dt, Q):
     """
     x_new, F, GQG = _predict_mats(x, acc, gyro, dt, Q)
     P_new = F @ P @ F.T + GQG
-    return x_new, P_new
+    return x_new, 0.5 * (P_new + P_new.T)
 
 
 def _predict_mats(x: st.NavState, acc, gyro, dt, Q):
@@ -174,7 +174,7 @@ def predict_scan(x: st.NavState, P, imu_stack, Q):
         A = jnp.einsum("kij,kjl->kil", A2, A1)
         B = jnp.einsum("kij,kjl,kml->kim", A2, B1, A2) + B2
     P_f = A[0] @ P @ A[0].T + B[0]
-    return x_f, P_f, xs
+    return x_f, 0.5 * (P_f + P_f.T), xs
 
 
 # ---------------------------------------------------------------------------
@@ -232,26 +232,38 @@ def _degeneracy_guard(HTH, dx_, D):
     return dx_.at[0:6].set(head)
 
 
-def _final_P(x: st.NavState, x_prop: st.NavState, dx_, P, K_x):
-    """Terminal covariance update (esekfom.hpp:1764-1817): P = L − K_x·P[:12,:]."""
-    L = P
+def _final_P(x: st.NavState, x_prop: st.NavState, dx_, P, K_x, K, R):
+    """Terminal covariance update in JOSEPH form, then chart projection.
+
+    The reference computes ``P = L − K_x·P`` (esekfom.hpp:1764-1817) — the
+    optimal-gain shortcut of the Joseph update, valid only for the EXACT
+    Kalman gain.  In f32 the computed gain carries rounding error and the
+    shortcut loses positive-definiteness a little every scan; over long
+    runs P drifts indefinite and the filter destabilizes (measured:
+    velocity blow-ups after ~70 updates on the synthetic benchmark).  The
+    Joseph form ``A·P·Aᵀ + R·K·Kᵀ`` (A = I − K·H̃) is the exact covariance
+    of the estimator for ANY gain — first-order identical to the
+    reference, PSD by construction — and is symmetrized before returning.
+    The manifold chart projection J·(...)·Jᵀ is unchanged
+    (esekfom.hpp:1766-1817).
+    """
+    dtype = P.dtype
+    A = jnp.eye(N, dtype=dtype).at[:, 0:M_OBS].add(-K_x)
+    M0 = A @ P @ A.T + R * (K @ K.T)
+
     for idx in st.SO3_IDXS:
         res = so3.A_matrix(dx_[idx:idx + 3]).T
-        L = L.at[idx:idx + 3, :].set(res @ P[idx:idx + 3, :])
-        K_x = K_x.at[idx:idx + 3, 0:M_OBS].set(res @ K_x[idx:idx + 3, 0:M_OBS])
-        L = L.at[:, idx:idx + 3].set(L[:, idx:idx + 3] @ res.T)
-        P = P.at[:, idx:idx + 3].set(P[:, idx:idx + 3] @ res.T)
+        M0 = M0.at[idx:idx + 3, :].set(res @ M0[idx:idx + 3, :])
+        M0 = M0.at[:, idx:idx + 3].set(M0[:, idx:idx + 3] @ res.T)
 
     g = st.GRAV
     Nx = s2.Nx_yy(x.grav)
     Mx = s2.Mx(x_prop.grav, dx_[g:g + 2])
     res2 = Nx @ Mx
-    L = L.at[g:g + 2, :].set(res2 @ P[g:g + 2, :])
-    K_x = K_x.at[g:g + 2, 0:M_OBS].set(res2 @ K_x[g:g + 2, 0:M_OBS])
-    L = L.at[:, g:g + 2].set(L[:, g:g + 2] @ res2.T)
-    P = P.at[:, g:g + 2].set(P[:, g:g + 2] @ res2.T)
+    M0 = M0.at[g:g + 2, :].set(res2 @ M0[g:g + 2, :])
+    M0 = M0.at[:, g:g + 2].set(M0[:, g:g + 2] @ res2.T)
 
-    return L - K_x[:, 0:M_OBS] @ P[0:M_OBS, :]
+    return 0.5 * (M0 + M0.T)
 
 
 def _body_jnp(x: st.NavState, x_prop: st.NavState, P_prop, HTH, HTh, R, D):
@@ -278,7 +290,7 @@ def _body_jnp(x: st.NavState, x_prop: st.NavState, P_prop, HTH, HTh, R, D):
     # non-normal push-through form diverges with estimate_extrinsics).
     from fast_limo_tpu.ops import gain as gain_op
 
-    K_x12, K_h = gain_op.gain(HTH, HTh, P_it, R)      # (23,12), (23,)
+    K_x12, K_h, K = gain_op.gain(HTH, HTh, P_it, R)   # (23,12), (23,), (23,12)
     K_x = jnp.zeros((N, N), dtype=dtype).at[:, 0:M_OBS].set(
         K_x12.astype(dtype))
     K_h = K_h.astype(dtype)
@@ -287,7 +299,8 @@ def _body_jnp(x: st.NavState, x_prop: st.NavState, P_prop, HTH, HTh, R, D):
     dx_guarded = _degeneracy_guard(HTH, dx_, D)
 
     x_next = st.boxplus(x, dx_guarded)
-    P_fin = _final_P(x_next, x_prop, dx_, P_it, K_x)
+    P_fin = _final_P(x_next, x_prop, dx_, P_it, K_x12.astype(dtype),
+                     K.astype(dtype), R)
     return x_next, P_fin, dx_
 
 

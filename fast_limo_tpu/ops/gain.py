@@ -46,7 +46,12 @@ NS = 23  # error-state dims
 
 
 def gain_reference(HTH, HTh, P, R):
-    """Pure-jnp gain path (identical semantics; used off-TPU and as oracle)."""
+    """Pure-jnp gain path (identical semantics; used off-TPU and as oracle).
+
+    Returns ``(K_x (23,12), K_h (23,), K (23,12))`` — K is the raw gain for
+    the COMPRESSED 12-row measurement (needed by the Joseph-form terminal
+    covariance, models/iekf.py:_final_P).
+    """
     from fast_limo_tpu.ops import linalg
 
     dtype = P.dtype
@@ -54,7 +59,7 @@ def gain_reference(HTH, HTh, P, R):
     PHt = P[:, 0:M] @ Ht12.T
     S = (Ht12 @ PHt[0:M]) / R + jnp.eye(M, dtype=dtype)
     K_ = jnp.linalg.solve(S.T, PHt.T).T / R
-    return K_ @ Ht12, K_ @ h_c            # K_x (23,12), K_h (23,)
+    return K_ @ Ht12, K_ @ h_c, K_        # K_x (23,12), K_h (23,), K (23,12)
 
 
 def gain_math(A, u, Pm, inv_R):
@@ -62,7 +67,8 @@ def gain_math(A, u, Pm, inv_R):
     update-body kernel, ops/update_body.py).
 
     A (M,M) = HᵀH, u (M,) = Hᵀh, Pm (NS,M) = P[:, :12], inv_R scalar.
-    Returns (K_x (NS,M), K_h (NS,)).
+    Returns (K_x (NS,M), K_h (NS,), K (NS,M)) — K is the raw compressed-row
+    gain, consumed by the Joseph-form terminal covariance.
     """
     f32 = jnp.float32
 
@@ -136,21 +142,22 @@ def gain_math(A, u, Pm, inv_R):
 
     K_x = jnp.dot(K, Ht, preferred_element_type=f32)              # (NS, M)
     K_h = jnp.sum(K * h[None, :], axis=1)                         # (NS,)
-    return K_x, K_h
+    return K_x, K_h, K
 
 
-def _gain_kernel(HTH_ref, HTh_ref, P_ref, scal_ref, Kx_ref, Kh_ref):
-    K_x, K_h = gain_math(HTH_ref[:, :], HTh_ref[0, :], P_ref[:, :],
-                         scal_ref[0, 0])
+def _gain_kernel(HTH_ref, HTh_ref, P_ref, scal_ref, Kx_ref, Kh_ref, K_ref):
+    K_x, K_h, K = gain_math(HTH_ref[:, :], HTh_ref[0, :], P_ref[:, :],
+                            scal_ref[0, 0])
     Kx_ref[:, :] = K_x
     Kh_ref[:, :] = K_h[:, None]
+    K_ref[:, :] = K
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def gain_tpu(HTH, HTh, P, R, *, interpret: bool = False):
-    """Pallas gain path: (K_x (23,12), K_h (23,)) in one kernel launch."""
+    """Pallas gain path: (K_x (23,12), K_h (23,), K (23,12)) in one launch."""
     f32 = jnp.float32
-    Kx, Kh = pl.pallas_call(
+    Kx, Kh, K = pl.pallas_call(
         _gain_kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -159,13 +166,15 @@ def gain_tpu(HTH, HTh, P, R, *, interpret: bool = False):
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
         ],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((NS, M), f32),
-                   jax.ShapeDtypeStruct((NS, 1), f32)),
+                   jax.ShapeDtypeStruct((NS, 1), f32),
+                   jax.ShapeDtypeStruct((NS, M), f32)),
         interpret=interpret,
     )(HTH.astype(f32), HTh.astype(f32)[None, :], P[:, :M].astype(f32),
       jnp.full((1, 1), 1.0 / R, f32))
-    return Kx.astype(P.dtype), Kh[:, 0].astype(P.dtype)
+    return Kx.astype(P.dtype), Kh[:, 0].astype(P.dtype), K.astype(P.dtype)
 
 
 def gain(HTH, HTh, P, R):

@@ -18,7 +18,8 @@ esekfom.hpp:1650-1819):
     K_x,K_h = gain(HᵀH, Hᵀh, P_it, R)                   (ops/gain.py algebra)
     dx_     = K_h + K_x·dx_new[:12] − dx_new
     x_next  = x ⊞ dx_      (FAST-PATH assumption: degeneracy guard = identity)
-    P_fin   = J₂·P_it·J₂ᵀ − (J₂·K_x)·(P_it[:12,:]·J₂ᵀ)  (esekfom.hpp:1764-1817)
+    P_fin   = J₂·(A·P_it·Aᵀ + R·K·Kᵀ)·J₂ᵀ, A = I − [K_x|0]   (Joseph form —
+              PSD-preserving under f32 gain error; see iekf._final_P)
     gersh   = Gershgorin lower bound on eig(HᵀH[0:6,0:6])
 
 ``gersh`` lets the caller keep exact reference semantics: when it certifies
@@ -257,7 +258,7 @@ def _body_kernel(HTH_ref, HTh_ref, P_ref, dx_ref, sc_ref,
     P_it = _dot(_dot(J1, P), J1.T)                    # (NS, NS)
 
     # ---- gain (shared algebra with ops/gain.py) ----
-    K_x, K_h = gain_math(HTH, HTh_ref[0, :], P_it[:, 0:M], inv_R)
+    K_x, K_h, K = gain_math(HTH, HTh_ref[0, :], P_it[:, 0:M], inv_R)
 
     # ---- dx_ = K_h + (K_x_full − I)·dx_new ----
     dx_ = K_h + _dot(K_x, dx_new[0:M]) - dx_new       # (NS,)
@@ -293,15 +294,25 @@ def _body_kernel(HTH_ref, HTh_ref, P_ref, dx_ref, sc_ref,
         grav_n[0], grav_n[1], grav_n[2],
     ])
 
-    # ---- terminal covariance (iekf._final_P; cheap here, computed always) ----
+    # ---- terminal covariance in JOSEPH form (iekf._final_P): exact for
+    # any gain and PSD-preserving — the reference's optimal-gain shortcut
+    # L − K_x·P loses definiteness under f32 gain error (see iekf.py) ----
+    rN = jax.lax.broadcasted_iota(jnp.int32, (NS, NS), 0)
+    cN = jax.lax.broadcasted_iota(jnp.int32, (NS, NS), 1)
+    eyeNN = (rN == cN).astype(f32)
+    # A = I − [K_x | 0]: subtract K_x into the first M columns
+    rS = jax.lax.broadcasted_iota(jnp.int32, (M, NS), 0)
+    cS = jax.lax.broadcasted_iota(jnp.int32, (M, NS), 1)
+    S_M = (cS == rS).astype(f32)                      # (M, NS) col selector
+    Afull = eyeNN - _dot(K_x, S_M)                    # (NS, NS)
+    M0 = _dot(_dot(Afull, P_it), Afull.T) \
+        + (1.0 / inv_R) * _dot(K, K.T)
     A3 = _A_matrix(dr).T
     A4 = _A_matrix(de).T
     res2f = _dot(_nx_yy(grav_n), _mx(gp, dg))
     J2 = _block_J(A3, A4, res2f)
-    PJt = _dot(P_it, J2.T)                            # (NS, NS)
-    L = _dot(J2, PJt)
-    KxJ = _dot(J2, K_x)                               # (NS, M)
-    Pf_ref[:, :] = L - _dot(KxJ, PJt[0:M, :])
+    Pf = _dot(_dot(J2, M0), J2.T)
+    Pf_ref[:, :] = 0.5 * (Pf + Pf.T)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -63,9 +63,10 @@ def test_all_zero_measurements(rng):
     HTH = jnp.zeros((gain_op.M, gain_op.M), jnp.float32)
     HTh = jnp.zeros((gain_op.M,), jnp.float32)
     P = jnp.asarray(np.diag(np.geomspace(1e-6, 1.0, gain_op.NS)), jnp.float32)
-    Kx, Kh = gain_op.gain_tpu(HTH, HTh, P, 1e-3, interpret=True)
+    Kx, Kh, K = gain_op.gain_tpu(HTH, HTh, P, 1e-3, interpret=True)
     assert np.all(np.asarray(Kx) == 0)
     assert np.all(np.asarray(Kh) == 0)
+    assert np.all(np.asarray(K) == 0)
 
 
 def test_wide_dynamic_range(rng):
@@ -75,9 +76,10 @@ def test_wide_dynamic_range(rng):
 def test_dispatch_runs(rng):
     """gain() picks a path and returns finite values on this backend."""
     HTH, HTh, P, R = _case(rng)
-    Kx, Kh = gain_op.gain(HTH, HTh, P, R)
+    Kx, Kh, K = gain_op.gain(HTH, HTh, P, R)
     assert np.all(np.isfinite(np.asarray(Kx)))
     assert np.all(np.isfinite(np.asarray(Kh)))
+    assert np.all(np.isfinite(np.asarray(K)))
 
 
 def test_e2e_trajectory_with_kernel_math(monkeypatch):

@@ -35,11 +35,11 @@ def _fastpath_body(HTH, HTh, P, x, x_prop, R):
     dtype = x.dtype
     dx = st.boxminus(x, x_prop)
     dx_new, P_it = iekf._chart_project_P(dx, x, x_prop, P, dx)
-    K_x12, K_h = gain_op.gain_reference(HTH, HTh, P_it, R)
+    K_x12, K_h, K = gain_op.gain_reference(HTH, HTh, P_it, R)
     K_x = jnp.zeros((23, 23), dtype).at[:, :12].set(K_x12)
     dx_ = K_h + (K_x - jnp.eye(23, dtype=dtype)) @ dx_new
     x_next = st.boxplus(x, dx_)
-    P_fin = iekf._final_P(x_next, x_prop, dx_, P_it, K_x)
+    P_fin = iekf._final_P(x_next, x_prop, dx_, P_it, K_x12, K, R)
     return x_next, P_fin, dx_
 
 

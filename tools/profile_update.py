@@ -79,16 +79,16 @@ def main():
         return c + Pit * 1e-12
     tm("_chart_project_P", cp, jnp.zeros((23, 23), dtype))
 
-    K_x = jnp.zeros((23, 23), dtype).at[:, :12].set(
-        jnp.asarray(rng.standard_normal((23, 12)) * 1e-3, dtype))
+    K_x12 = jnp.asarray(rng.standard_normal((23, 12)) * 1e-3, dtype)
+    K_raw = jnp.asarray(rng.standard_normal((23, 12)) * 1e-3, dtype)
 
     def fp(c):
-        Pf = iekf._final_P(x, x, dx + c[:, 0] * 1e-12, P, K_x)
+        Pf = iekf._final_P(x, x, dx + c[:, 0] * 1e-12, P, K_x12, K_raw, 1e-3)
         return c + Pf * 1e-12
     tm("_final_P", fp, jnp.zeros((23, 23), dtype))
 
     def gn(c):
-        Kx, Kh = gain_op.gain(HTH + c[:12, :12] * 1e-12, HTh, P, 1e-3)
+        Kx, Kh, _K = gain_op.gain(HTH + c[:12, :12] * 1e-12, HTh, P, 1e-3)
         return c + jnp.zeros((23, 23), dtype).at[:, :12].set(Kx) * 1e-12
     tm("gain kernel", gn, jnp.zeros((23, 23), dtype))
 
