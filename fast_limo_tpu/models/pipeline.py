@@ -270,7 +270,10 @@ def build_scan_step(cfg: Config, *, donate: bool = True, jit: bool = True,
             pos=x_u.pos, quat=x_u.rot, vel=x_u.vel,
             final_scan=w_scan, final_valid=ins_valid & do_update,
             scan_body=ins_pts,
-            descriptor=sc.descriptor(ins_pts, ins_valid),
+            descriptor=sc.descriptor(
+                ins_pts, ins_valid, n_ring=cfg.sc.n_ring,
+                n_sector=cfg.sc.n_sector, max_radius=cfg.sc.max_radius,
+                height_shift=cfg.sc.height_shift),
             n_iters=n_iters, n_deskewed=jnp.sum(pvalid),
             n_pc2match=jnp.sum(pc2_valid), scan_stamp=scan_end,
         )

@@ -43,15 +43,20 @@ class RelocResult:
 
 def relocalize(query_cloud, query_valid, keyframes: List, *,
                sc_thresh: float = 0.3, icp_max_rmse: float = 1.0,
-               icp_min_inliers: int = 150, top_k: int = 3) -> RelocResult:
-    """Localize a body-frame query scan against a keyframe database."""
+               icp_min_inliers: int = 150, top_k: int = 3,
+               sc_params: Optional[dict] = None) -> RelocResult:
+    """Localize a body-frame query scan against a keyframe database.
+
+    ``sc_params`` must match the ScanContext geometry the keyframe
+    descriptors were built with (Config.sc; SLAM.relocalize_scan fills it)."""
     fail = RelocResult(False, np.zeros(3), np.array([1.0, 0, 0, 0]), -1,
                        np.inf, np.inf, 0)
     if not keyframes:
         return fail
 
     qdesc = scancontext.descriptor(jnp.asarray(query_cloud),
-                                   jnp.asarray(query_valid))
+                                   jnp.asarray(query_valid),
+                                   **(sc_params or {}))
     descs = jnp.stack([jnp.asarray(k.desc) for k in keyframes])
 
     dists, shifts = jax.vmap(lambda d: scancontext.distance(qdesc, d))(descs)
@@ -63,7 +68,8 @@ def relocalize(query_cloud, query_valid, keyframes: List, *,
         if dists[ci] > sc_thresh:
             break
         kf = keyframes[int(ci)]
-        yaw = float(scancontext.shift_to_yaw(shifts[int(ci)]))
+        yaw = float(scancontext.shift_to_yaw(shifts[int(ci)],
+                                             n_sector=qdesc.shape[1]))
         q0 = so3.exp_quat(jnp.asarray([0.0, 0.0, yaw], jnp.float32))
         res = icp.icp(jnp.asarray(query_cloud), jnp.asarray(query_valid),
                       jnp.asarray(kf.cloud), jnp.asarray(kf.cloud_valid),

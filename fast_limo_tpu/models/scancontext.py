@@ -24,13 +24,16 @@ N_SECTOR = 60
 MAX_RADIUS = 80.0
 
 
-@functools.partial(jax.jit, static_argnames=("n_ring", "n_sector", "max_radius"))
+@functools.partial(jax.jit, static_argnames=("n_ring", "n_sector", "max_radius",
+                                             "height_shift"))
 def descriptor(points, valid, *, n_ring: int = N_RING, n_sector: int = N_SECTOR,
-               max_radius: float = MAX_RADIUS):
+               max_radius: float = MAX_RADIUS, height_shift: float = 2.0):
     """(R,S) scan-context of a body-frame scan; empty cells = 0.
 
-    Heights are shifted by +2 m (sensor roughly 2 m above ground) so ground
-    returns contribute positive occupancy, as in the original implementation.
+    Heights are shifted by ``height_shift`` (≈ sensor height above ground)
+    so ground returns contribute positive occupancy, as in the original
+    implementation.  All geometry knobs live in ``Config.sc`` — per-profile
+    (low-mounted Hesai vs roof-mounted HDL-64) tuning.
     """
     x, y, z = points[:, 0], points[:, 1], points[:, 2]
     r = jnp.sqrt(x * x + y * y)
@@ -41,7 +44,7 @@ def descriptor(points, valid, *, n_ring: int = N_RING, n_sector: int = N_SECTOR,
     ok = valid & (r < max_radius) & (r > 1e-3)
     cell = ring * n_sector + sector
     cell = jnp.where(ok, cell, n_ring * n_sector)
-    h = jnp.where(ok, z + 2.0, -jnp.inf)
+    h = jnp.where(ok, z + height_shift, -jnp.inf)
     flat = jnp.full((n_ring * n_sector + 1,), -jnp.inf, points.dtype)
     flat = flat.at[cell].max(h)
     desc = flat[:-1].reshape(n_ring, n_sector)

@@ -41,8 +41,16 @@ class LoopConfig:
     icp_points: int = 1024          # subsampled cloud kept per keyframe
     consistency_trans: float = 2.0  # m: |ICP edge − odometry-predicted edge|
     consistency_rot: float = 0.25   # rad
-    max_keyframes: int = 1024
-    max_edges: int = 4096
+    retrieve_top_k: int = 10        # ring-key candidates checked with the full
+                                    # SC distance (ScanContext paper uses ~10;
+                                    # top-1 silently loses loops to occlusion)
+    max_keyframes: int = 1024       # ENFORCED: past the cap, old unprotected
+                                    # keyframes are thinned 2:1 (loop-edge
+                                    # endpoints and the recent window survive)
+    max_edges: int = 4096           # graph edge capacity; oldest loop edges
+                                    # are dropped when the budget is exceeded
+    rebuild_batch: int = 16         # keyframes per jitted insert during map
+                                    # rebuild (one dispatch per batch)
     optimize_iters: int = 8
     loop_weight: float = 5.0
     gps_weight: float = 5.0         # information weight of GPS position priors
@@ -78,6 +86,7 @@ class SLAM:
         self.loc = Localizer(cfg)
         self.enable_loop = enable_loop_closure
         self.keyframes: List[Keyframe] = []
+        self._rebuild_step = None           # cached jitted batch-rebuild fn
         self.loop_edges: List[tuple] = []   # (i, j, quat, trans, weight)
         self.n_loops_closed = 0
         self._last_scan_count = 0
@@ -176,8 +185,39 @@ class SLAM:
             desc=desc, ring_key=np.asarray(scancontext.ring_key(jnp.asarray(desc))),
             cloud=cloud, cloud_valid=cvalid)
         self.keyframes.append(kf)
+        self._enforce_keyframe_cap()
         self._attach_gps()
-        self._detect_loop(kf)
+        self._detect_loop(self.keyframes[-1])
+
+    def _enforce_keyframe_cap(self):
+        """Bound the keyframe database (LoopConfig.max_keyframes).
+
+        The dense GN solves 6K×6K, so K must stay bounded on UTBM-length
+        runs.  Past the cap, OLD keyframes are thinned 2:1 — keeping loop-
+        edge endpoints, GPS-anchored frames, and the recent exclude window
+        — which halves old-trajectory density instead of forgetting it."""
+        lc = self.loop_cfg
+        if len(self.keyframes) <= lc.max_keyframes:
+            return
+        protected = {i for e in self.loop_edges for i in e[:2]}
+        protected |= {i for (i, _p, _w) in self.gps_factors}
+        recent_from = len(self.keyframes) - lc.exclude_recent - 1
+        keep, drop_parity = [], 0
+        for k, kf in enumerate(self.keyframes):
+            if k == 0 or k >= recent_from or k in protected:
+                keep.append(k)
+            else:
+                drop_parity += 1
+                if drop_parity % 2 == 0:     # thin 2:1
+                    keep.append(k)
+        remap = {old: new for new, old in enumerate(keep)}
+        self.keyframes = [self.keyframes[k] for k in keep]
+        for new, kf in enumerate(self.keyframes):
+            kf.index = new
+        self.loop_edges = [
+            (remap[e[0]], remap[e[1]], *e[2:]) for e in self.loop_edges]
+        self.gps_factors = [
+            (remap[i], p, w) for (i, p, w) in self.gps_factors if i in remap]
 
     def _detect_loop(self, kf: Keyframe):
         lc = self.loop_cfg
@@ -191,14 +231,19 @@ class SLAM:
                 if np.linalg.norm(c.pos - kf.pos) < lc.search_radius]
         if not near:
             return
+        # top-K ring-key candidates, arbitrated by the full shifted-cosine
+        # distance (ScanContext's published retrieval; top-1 loses the loop
+        # whenever occlusion/dynamic objects perturb one ring histogram)
         keys = np.stack([c.ring_key for c in near])
         d = np.sum(np.abs(keys - kf.ring_key[None]), axis=1)
-        best = int(np.argmin(d))
-        cand = near[best]
-
-        dist, shift = scancontext.distance(jnp.asarray(kf.desc),
-                                           jnp.asarray(cand.desc))
-        if float(dist) > lc.sc_dist_thresh:
+        order = np.argsort(d)[: lc.retrieve_top_k]
+        cand, shift, best_dist = None, None, np.inf
+        for ci in order:
+            dist_i, shift_i = scancontext.distance(
+                jnp.asarray(kf.desc), jnp.asarray(near[int(ci)].desc))
+            if float(dist_i) < best_dist:
+                best_dist, cand, shift = float(dist_i), near[int(ci)], shift_i
+        if cand is None or best_dist > lc.sc_dist_thresh:
             return
 
         # ICP: align kf cloud onto candidate cloud.  Two seeds are tried —
@@ -211,7 +256,7 @@ class SLAM:
         qc_i = so3.quat_conj(jnp.asarray(cand.quat))
         q_pred = so3.quat_mul(qc_i, jnp.asarray(kf.quat))
         t_pred = so3.quat_rotate(qc_i, jnp.asarray(kf.pos - cand.pos))
-        yaw = float(scancontext.shift_to_yaw(shift))
+        yaw = float(scancontext.shift_to_yaw(shift, n_sector=kf.desc.shape[1]))
         q_sc = so3.exp_quat(jnp.asarray([0.0, 0.0, yaw], jnp.float32))
         seeds = [(q_pred.astype(jnp.float32), t_pred.astype(jnp.float32)),
                  (q_sc, None)]
@@ -249,8 +294,16 @@ class SLAM:
     def _optimize_and_correct(self):
         lc = self.loop_cfg
         K = len(self.keyframes)
-        g = posegraph.create(
-            1 << max(3, (K - 1).bit_length()), lc.max_edges)
+        # edge budget: K-1 odometry edges + loop edges must fit max_edges
+        # (add_edge past capacity silently clobbers the last slot); oldest
+        # loop edges are the least informative after their correction landed
+        max_loops = max(0, lc.max_edges - (K - 1))
+        if len(self.loop_edges) > max_loops:
+            self.loop_edges = self.loop_edges[-max_loops:]
+        max_nodes = 1 << max(3, (K - 1).bit_length())
+        if len(self.gps_factors) > max_nodes:   # prior capacity == max_nodes
+            self.gps_factors = self.gps_factors[-max_nodes:]
+        g = posegraph.create(max_nodes, lc.max_edges)
         for kf in self.keyframes:
             g = posegraph.add_node(g, jnp.asarray(kf.quat, jnp.float32),
                                    jnp.asarray(kf.pos, jnp.float32))
@@ -293,16 +346,44 @@ class SLAM:
         self._rebuild_map()
 
     def _rebuild_map(self):
-        """Re-insert keyframe clouds at optimized poses into a fresh map."""
+        """Re-insert keyframe clouds at optimized poses into a fresh map.
+
+        Batched: ``rebuild_batch`` keyframes are transformed and inserted
+        per jitted dispatch (500 keyframes → ~32 dispatches, not 500 — a
+        per-keyframe host loop stalled for seconds inside the "real-time"
+        pipeline).  The batch shape is fixed (tail zero-padded) so the
+        program compiles once."""
         cfg = self.cfg
         m = mapper.create(cfg.tpu.map_capacity, cfg.map_points_per_voxel,
                           jnp.dtype(cfg.tpu.dtype))
         vox = cfg.map_voxel_size
-        for kf in self.keyframes:
-            world = so3.quat_rotate(jnp.asarray(kf.quat), jnp.asarray(kf.cloud)) \
-                + jnp.asarray(kf.pos)
-            m = mapper.insert(m, world, jnp.asarray(kf.cloud_valid),
-                              voxel_size=vox, probes=cfg.tpu.hash_probes)
+        B = max(1, self.loop_cfg.rebuild_batch)
+        if self._rebuild_step is None or self._rebuild_step[0] != (B, vox):
+            import jax
+
+            @jax.jit
+            def step(m, clouds, valids, quats, poss):
+                world = jax.vmap(so3.quat_rotate)(quats, clouds) \
+                    + poss[:, None, :]
+                return mapper.insert(
+                    m, world.reshape(-1, 3), valids.reshape(-1),
+                    voxel_size=vox, probes=cfg.tpu.hash_probes)
+
+            self._rebuild_step = ((B, vox), step)
+        step = self._rebuild_step[1]
+
+        P = self.keyframes[0].cloud.shape[0] if self.keyframes else 0
+        for i0 in range(0, len(self.keyframes), B):
+            batch = self.keyframes[i0:i0 + B]
+            clouds = np.zeros((B, P, 3), np.float32)
+            valids = np.zeros((B, P), bool)
+            quats = np.tile(np.array([1.0, 0, 0, 0], np.float32), (B, 1))
+            poss = np.zeros((B, 3), np.float32)
+            for i, kf in enumerate(batch):
+                clouds[i], valids[i] = kf.cloud, kf.cloud_valid
+                quats[i], poss[i] = kf.quat, kf.pos
+            m = step(m, jnp.asarray(clouds), jnp.asarray(valids),
+                     jnp.asarray(quats), jnp.asarray(poss))
         self.loc.state = self.loc.state._replace(map=m)
 
     # ------------------------------------------------------------- sessions
@@ -349,6 +430,10 @@ class SLAM:
         keyframe database (see models/relocalize.py)."""
         from fast_limo_tpu.models import relocalize as rl
 
+        kw.setdefault("sc_params", dict(
+            n_ring=self.cfg.sc.n_ring, n_sector=self.cfg.sc.n_sector,
+            max_radius=self.cfg.sc.max_radius,
+            height_shift=self.cfg.sc.height_shift))
         return rl.relocalize(query_cloud, query_valid, self.keyframes, **kw)
 
     # ------------------------------------------------------------- queries

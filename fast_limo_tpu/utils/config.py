@@ -150,6 +150,21 @@ class TPUConfig:
 
 
 @dataclass
+class ScanContextConfig:
+    """ScanContext descriptor geometry (Kim & Kim, IROS 2018).
+
+    Per-profile tunables — a low-mounted Hesai (ONA) or a formula car (CAT)
+    need different radii/height shifts than the KITTI roof rig.  The
+    descriptor is baked into the jitted scan step, so these are compile-time
+    constants per Localizer."""
+
+    n_ring: int = 20
+    n_sector: int = 60
+    max_radius: float = 80.0
+    height_shift: float = 2.0   # added to z so ground returns occupy > 0
+
+
+@dataclass
 class Config:
     topics: TopicsConfig = field(default_factory=TopicsConfig)
     extrinsics: ExtrinsicsConfig = field(default_factory=ExtrinsicsConfig)
@@ -157,6 +172,7 @@ class Config:
     filters: FiltersConfig = field(default_factory=FiltersConfig)
     ikfom: IKFoMConfig = field(default_factory=IKFoMConfig)
     tpu: TPUConfig = field(default_factory=TPUConfig)
+    sc: ScanContextConfig = field(default_factory=ScanContextConfig)
 
     gravity_align: bool = True
     calibrate_accel: bool = True
@@ -270,6 +286,11 @@ class Config:
             for k, v in tpu.items():
                 if hasattr(cfg.tpu, k):
                     setattr(cfg.tpu, k, type(getattr(cfg.tpu, k))(v))
+        sc = get("scancontext", default=None)
+        if isinstance(sc, dict):
+            for k, v in sc.items():
+                if hasattr(cfg.sc, k):
+                    setattr(cfg.sc, k, type(getattr(cfg.sc, k))(v))
         return cfg
 
     def to_dict(self) -> dict:

@@ -1,0 +1,177 @@
+"""Loop-closure scalability: keyframe cap enforcement, top-K retrieval,
+batched map rebuild, ScanContext config plumbing."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_limo_tpu.models import scancontext
+from fast_limo_tpu.models.slam import SLAM, Keyframe, LoopConfig
+from test_pipeline import run_odometry, small_cfg
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(12)
+
+
+def mk_slam(**loop_kw):
+    cfg = small_cfg()
+    lc = LoopConfig(**loop_kw)
+    return SLAM(cfg, loop_cfg=lc)
+
+
+def mk_kf(rng, index, pos, desc=None, ring=None, P=64):
+    desc = desc if desc is not None else rng.random((20, 60)).astype(np.float32)
+    cloud = rng.normal(size=(P, 3)).astype(np.float32) * 5
+    return Keyframe(
+        index=index, stamp=float(index) * 0.5, pos=np.asarray(pos, float),
+        quat=np.array([1.0, 0, 0, 0]), desc=desc,
+        ring_key=(ring if ring is not None
+                  else np.asarray(scancontext.ring_key(jnp.asarray(desc)))),
+        cloud=cloud, cloud_valid=np.ones(P, bool))
+
+
+class TestKeyframeCap:
+    def test_cap_enforced_with_thinning(self, rng):
+        s = mk_slam(max_keyframes=50, exclude_recent=5)
+        for k in range(80):
+            kf = mk_kf(rng, len(s.keyframes), [k * 1.0, 0, 0])
+            kf.stamp = k * 0.5
+            s.keyframes.append(kf)
+            s._enforce_keyframe_cap()
+        assert len(s.keyframes) <= 50
+        # indices contiguous after remap
+        assert [kf.index for kf in s.keyframes] == list(range(len(s.keyframes)))
+        # frame 0 and the recent window survive
+        assert s.keyframes[0].stamp == 0.0
+        stamps = [kf.stamp for kf in s.keyframes]
+        assert stamps == sorted(stamps)
+        assert stamps[-1] == 79 * 0.5
+
+    def test_loop_edge_endpoints_protected_and_remapped(self, rng):
+        s = mk_slam(max_keyframes=40, exclude_recent=5)
+        for k in range(40):
+            s.keyframes.append(mk_kf(rng, k, [k * 1.0, 0, 0]))
+        # a loop edge between kf 3 and kf 20
+        stamp_a, stamp_b = s.keyframes[3].stamp, s.keyframes[20].stamp
+        s.loop_edges.append((3, 20, np.array([1.0, 0, 0, 0]), np.zeros(3)))
+        s.gps_factors.append((10, np.zeros(3), 1.0))
+        stamp_g = s.keyframes[10].stamp
+        for k in range(40, 60):
+            kf = mk_kf(rng, len(s.keyframes), [k * 1.0, 0, 0])
+            kf.stamp = k * 0.5
+            s.keyframes.append(kf)
+            s._enforce_keyframe_cap()
+        assert len(s.keyframes) <= 40
+        (i, j, _q, _t) = s.loop_edges[0]
+        assert s.keyframes[i].stamp == stamp_a
+        assert s.keyframes[j].stamp == stamp_b
+        (gi, _p, _w) = s.gps_factors[0]
+        assert s.keyframes[gi].stamp == stamp_g
+
+    def test_edge_budget_trims_oldest_loops(self, rng):
+        s = mk_slam(max_keyframes=64, max_edges=40, optimize_iters=1)
+        s.loc._init_device_state(0.0)
+        for k in range(30):
+            s.keyframes.append(mk_kf(rng, k, [k * 1.0, 0, 0], P=32))
+        for e in range(30):                      # 30 loop edges, budget 40-29=11
+            s.loop_edges.append((0, 1 + e % 20, np.array([1.0, 0, 0, 0]),
+                                 np.zeros(3)))
+        s._optimize_and_correct()
+        assert len(s.loop_edges) <= 40 - (30 - 1)
+
+
+class TestTopKRetrieval:
+    def test_decoy_ring_key_does_not_mask_true_loop(self, rng):
+        """A decoy whose ring key aliases the query must not hide the true
+        revisit (top-1 retrieval did exactly that)."""
+        s = mk_slam(exclude_recent=2, search_radius=50.0, retrieve_top_k=5,
+                    icp_min_inliers=20, sc_dist_thresh=0.3,
+                    consistency_trans=5.0, consistency_rot=0.5)
+        base = rng.random((20, 60)).astype(np.float32) + 0.5
+        true_kf = mk_kf(rng, 0, [0.0, 0, 0], desc=base.copy())
+        decoy = mk_kf(rng, 1, [1.0, 0, 0],
+                      desc=rng.random((20, 60)).astype(np.float32))
+        query = mk_kf(rng, 4, [0.5, 0, 0],
+                      desc=base + rng.normal(0, 0.01, base.shape).astype(np.float32))
+        query.cloud = true_kf.cloud.copy()       # identical geometry → ICP exact
+        # decoy's stored ring key EXACTLY aliases the query's
+        query.ring_key = np.asarray(
+            scancontext.ring_key(jnp.asarray(query.desc)))
+        decoy.ring_key = query.ring_key.copy()
+        filler2 = mk_kf(rng, 2, [40.0, 0, 0])    # outside search radius
+        filler3 = mk_kf(rng, 3, [41.0, 0, 0])
+        s.keyframes = [true_kf, decoy, filler2, filler3, query]
+        s.loc._init_device_state(0.0)
+        s._detect_loop(query)
+        assert s.n_loops_closed == 1
+        assert s.loop_edges[0][0] == 0           # matched the TRUE keyframe
+
+
+class TestBatchedRebuild:
+    def test_batched_rebuild_matches_sequential(self, rng):
+        """rebuild_batch=16 must produce the same map content as one-by-one
+        insertion (ample capacity: no bucket/group rejections)."""
+        from fast_limo_tpu.models import mapper
+
+        kfs = [mk_kf(rng, k, [k * 3.0, 0, 0], P=128) for k in range(33)]
+        maps = {}
+        for B in (1, 16):
+            s = mk_slam(rebuild_batch=B)
+            s.cfg.tpu.map_capacity = 2 ** 15
+            s.cfg.tpu.map_points_per_voxel = 8
+            s.keyframes = kfs
+            s.loc._init_device_state(0.0)
+            s._rebuild_map()
+            maps[B] = s.loc.state.map
+        a, b = maps[1], maps[16]
+        assert int(a.num_points) == int(b.num_points) > 0
+        ka = {tuple(c) for c, n in zip(np.asarray(a.coords), np.asarray(a.counts)) if n > 0}
+        kb = {tuple(c) for c, n in zip(np.asarray(b.coords), np.asarray(b.counts)) if n > 0}
+        assert ka == kb
+
+    def test_rebuild_dispatch_count(self, rng, monkeypatch):
+        """500-keyframe rebuild must be O(K/B) insert dispatches, not O(K)."""
+        from fast_limo_tpu.models import mapper
+
+        calls = {"n": 0}
+        orig = mapper.insert
+
+        def counting_insert(*a, **k):
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        monkeypatch.setattr(mapper, "insert", counting_insert)
+        s = mk_slam(rebuild_batch=16)
+        s.cfg.tpu.map_capacity = 2 ** 15
+        s.keyframes = [mk_kf(rng, k, [k * 1.0, 0, 0], P=32) for k in range(100)]
+        s.loc._init_device_state(0.0)
+        s._rebuild_map()
+        assert calls["n"] <= 100 // 16 + 1
+
+
+class TestScanContextConfig:
+    def test_descriptor_geometry_from_config(self):
+        cfg = small_cfg()
+        cfg.sc.n_ring = 12
+        cfg.sc.n_sector = 40
+        cfg.sc.max_radius = 30.0
+        cfg.sc.height_shift = 0.5
+        from fast_limo_tpu.io import synthetic
+
+        seq = synthetic.SyntheticSequence(
+            seed=2, n_scans=3, points_per_scan=4096,
+            noise_pt=0.01, noise_gyro=5e-4, noise_acc=5e-3)
+        loc = run_odometry(cfg, seq, 2)
+        assert loc.last_output.descriptor.shape == (12, 40)
+
+    def test_yaml_roundtrip(self, tmp_path):
+        from fast_limo_tpu.utils.config import Config
+
+        p = tmp_path / "c.yaml"
+        p.write_text("scancontext:\n  n_ring: 16\n  max_radius: 50.0\n")
+        cfg = Config.from_yaml(str(p))
+        assert cfg.sc.n_ring == 16
+        assert cfg.sc.max_radius == 50.0
+        assert cfg.sc.n_sector == 60
