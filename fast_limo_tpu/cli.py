@@ -72,6 +72,46 @@ def cmd_synthetic(args):
         print(f"session → {args.save_session}.*")
 
 
+def cmd_sequence(args):
+    """Run an extracted sequence directory (io/generic.py layout) — the
+    counterpart of the reference's `roslaunch … + rosbag play` workflow for
+    the UTBM/CAT/ONA profiles."""
+    from fast_limo_tpu.io import generic
+    from fast_limo_tpu.utils import evaluation
+
+    cfg, slam = _build(args)
+    seq = generic.GenericSequence(args.data)
+    generic.run_sequence(slam, seq, n_scans=args.scans)
+    print(slam.loc.board())
+    traj = slam.trajectory
+    out = {"scans": len(traj)}
+    if hasattr(slam, "n_loops_closed"):
+        out["loops"] = slam.n_loops_closed
+    print(json.dumps(out))
+    if args.out:
+        evaluation.save_tum(args.out, [t["stamp"] for t in traj],
+                            [t["pos"] for t in traj], [t["quat"] for t in traj])
+        print(f"trajectory → {args.out}")
+    if args.save_session:
+        slam.save_session(args.save_session)
+        print(f"session → {args.save_session}.*")
+
+
+def cmd_make_synthetic(args):
+    """Export the synthetic world as an extracted sequence in any sensor
+    time convention, so every profile config runs end-to-end without data."""
+    from fast_limo_tpu.io import generic, synthetic
+
+    seq = synthetic.SyntheticSequence(seed=args.seed, n_scans=args.scans,
+                                      points_per_scan=args.points)
+    generic.export_synthetic(
+        args.dir, seq, args.sensor_type, end_of_sweep=args.end_of_sweep,
+        standstill=args.standstill, gps_every=args.gps_every,
+        gps_noise=args.gps_noise, seed=args.seed)
+    print(json.dumps({"dir": args.dir, "scans": args.scans,
+                      "sensor_type": args.sensor_type}))
+
+
 def cmd_kitti(args):
     from fast_limo_tpu.io import kitti
     from fast_limo_tpu.utils import evaluation
@@ -127,6 +167,27 @@ def main(argv=None):
     pk.add_argument("--drive", required=True)
     pk.add_argument("--scans", type=int, default=None)
     pk.set_defaults(fn=cmd_kitti)
+
+    pq = sub.add_parser("sequence", parents=[common],
+                        help="run an extracted sequence dir (io/generic.py)")
+    pq.add_argument("--data", required=True)
+    pq.add_argument("--scans", type=int, default=None)
+    pq.set_defaults(fn=cmd_sequence)
+
+    pm = sub.add_parser("make-synthetic",
+                        help="export the synthetic world as a sequence dir")
+    pm.add_argument("--dir", required=True)
+    pm.add_argument("--scans", type=int, default=30)
+    pm.add_argument("--points", type=int, default=16384)
+    pm.add_argument("--sensor-type", type=int, default=1,
+                    help="0 OUSTER / 1 VELODYNE / 2 HESAI / 3 LIVOX")
+    pm.add_argument("--end-of-sweep", action="store_true")
+    pm.add_argument("--standstill", type=float, default=0.0,
+                    help="seconds of stationary IMU prepended (calibration)")
+    pm.add_argument("--gps-every", type=int, default=0)
+    pm.add_argument("--gps-noise", type=float, default=0.1)
+    pm.add_argument("--seed", type=int, default=0)
+    pm.set_defaults(fn=cmd_make_synthetic)
 
     args = p.parse_args(argv)
     for dest, dflt in (("config", None), ("out", None),

@@ -335,8 +335,9 @@ def update_iterated(
     dtype = x.pos.dtype
     x_prop, P_prop = x, P
 
-    platform = jax.devices()[0].platform
-    use_kernel = platform in ("tpu", "axon") and dtype == jnp.float32
+    from fast_limo_tpu.ops import dispatch
+
+    use_kernel = dispatch.kernel_enabled("update_body") and dtype == jnp.float32
 
     def cond(carry):
         return ~carry["done"]

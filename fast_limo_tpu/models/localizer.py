@@ -139,11 +139,20 @@ class Localizer:
             validation.check_pointcloud(points, t_raw, self.cfg.sensor_type, stamp)
             self._structure_checked = True
         points = np.ascontiguousarray(points, np.float32)
-        t_raw = np.ascontiguousarray(t_raw, np.float32)
+        t64 = np.asarray(t_raw, np.float64)
         t_abs = preprocess.extract_point_times(
-            t_raw.astype(np.float64), stamp, self.cfg.sensor_type, self.cfg.end_of_sweep)
+            t64, stamp, self.cfg.sensor_type, self.cfg.end_of_sweep)
         last_pt = float(np.max(t_abs)) if len(t_abs) else stamp
-        self._scan_queue.append(_PendingScan(stamp, points, t_raw, last_pt))
+        # Absolute-time sensors (HESAI abs-s / LIVOX abs-ns) must be rebased
+        # to this scan's epoch IN f64, BEFORE the f32 cast: the device sees
+        # only epoch-relative times (ScanBatch docstring), and f32 cannot
+        # even represent epoch-scale stamps (eps(1.7e9 s) ≈ 256 s).
+        if self.cfg.sensor_type == preprocess.HESAI:
+            t64 = t64 - stamp
+        elif self.cfg.sensor_type == preprocess.LIVOX:
+            t64 = t64 - stamp * 1e9
+        t_raw32 = np.ascontiguousarray(t64, np.float32)
+        self._scan_queue.append(_PendingScan(stamp, points, t_raw32, last_pt))
         self._drain()
 
     # ------------------------------------------------------------------ core
@@ -192,8 +201,18 @@ class Localizer:
 
         K = cfg.tpu.imu_batch
         if len(batch) > K:
-            raise RuntimeError(
-                f"IMU batch {len(batch)} exceeds tpu.imu_batch={K}; raise the cap")
+            # Overflow (e.g. the post-calibration backlog lands entirely in
+            # the first scan): pre-integrate the oldest samples into the
+            # carried state via the prop step. Correct as long as the scan's
+            # SWEEP window is covered by the last K samples — points only
+            # deskew against frames inside the sweep (~0.1 s), while the
+            # overflow precedes it.
+            overflow, batch = batch[:-K], batch[-K:]
+            if batch[0][0] < scan.stamp - 0.5:
+                print(f"[fast_limo_tpu] IMU overflow: {len(overflow)} samples "
+                      f"pre-integrated; sweep coverage starts {scan.stamp - batch[0][0]:.2f}s "
+                      "before the scan stamp — consider raising tpu.imu_batch")
+            self._consume_imu_overflow(overflow)
         N = cfg.tpu.max_points_per_scan
         npts = len(scan.points)
         if npts > N:
@@ -233,6 +252,37 @@ class Localizer:
         imu_pack[3, 7] = t_scale
         imu_pack[4, 7] = 1.0    # active (only read by the chunked step)
         return scan_pack, imu_pack
+
+    def _consume_imu_overflow(self, samples) -> None:
+        """Fold IMU samples into the carried device state (predict-only).
+
+        Uses the same jitted prop step as IMU-rate odometry, but COMMITS the
+        result into ``self.state`` (stamps relative to the CURRENT epoch —
+        call before the epoch advances)."""
+        if not samples:
+            return
+        if self._prop_step is None:
+            self._prop_step = pl.build_prop_step(self.cfg)
+        K = self.cfg.tpu.imu_batch
+        s = self.state
+        x, P = s.x, s.P
+        t_rel, w_raw = s.last_prop_time, s.last_w_raw_bl
+        wc, ac = s.last_w, s.last_a
+        for i0 in range(0, len(samples), K):
+            chunk = samples[i0:i0 + K]
+            pack = np.zeros((K, 8), np.float32)
+            for i, (ts, a, g) in enumerate(chunk):
+                pack[i, 0:3] = a
+                pack[i, 3:6] = g
+                pack[i, 6] = ts - self.epoch
+            pack[0, 7] = len(chunk)
+            x, P, t_rel, w_raw, wc, ac = self._prop_step(
+                x, P, t_rel, w_raw, s.bias_accel_corr, s.bias_gyro_corr,
+                jnp.asarray(pack))
+        self.state = s._replace(x=x, P=P, last_prop_time=t_rel,
+                                last_w_raw_bl=w_raw, last_w=wc, last_a=ac)
+        self._last_consumed_stamp = samples[-1][0]
+        self._prop_cache = None
 
     def _dispatch(self, scan: _PendingScan) -> None:
         if self.state is None:
@@ -425,7 +475,7 @@ class Localizer:
                 pack[i, 3:6] = g
                 pack[i, 6] = ts - self.epoch
             pack[0, 7] = len(chunk)
-            x, P, t_rel, w_raw = self._prop_step(
+            x, P, t_rel, w_raw, _wc, _ac = self._prop_step(
                 x, P, t_rel, w_raw, s.bias_accel_corr, s.bias_gyro_corr,
                 jnp.asarray(pack))
         result = (x, P, self.epoch + float(t_rel))

@@ -501,8 +501,8 @@ def topk_from_candidates(cand_pts, cand_valid, queries, *, k: int):
     N = queries.shape[0]
     flat_pts = cand_pts.reshape(N, -1, 3)
     flat_valid = cand_valid.reshape(N, -1)
-    platform = jax.devices()[0].platform
-    if platform in ("tpu", "axon"):
+    from fast_limo_tpu.ops import dispatch
+    if dispatch.kernel_enabled("knn"):
         from fast_limo_tpu.ops import knn as knn_op
         return knn_op.masked_topk(flat_pts, flat_valid, queries, k=k)
     diff = flat_pts - queries[:, None, :]
@@ -552,8 +552,8 @@ def knn(m: VoxelHashMap, queries, *, voxel_size: float, k: int, probes: int = 0,
     rows, nc, owned = gather_rows(
         m, queries, voxel_size=voxel_size, num_shards=num_shards,
         shard_index=shard_index, neighborhood=neighborhood)
-    platform = jax.devices()[0].platform
-    if owned is None and platform in ("tpu", "axon"):
+    from fast_limo_tpu.ops import dispatch
+    if owned is None and dispatch.kernel_enabled("knn"):
         from fast_limo_tpu.ops import knn_rows
 
         return knn_rows.topk_from_rows_tpu(rows, nc, queries, E=E,

@@ -85,10 +85,10 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
             shard_index=idx, neighborhood=neighborhood)
 
     def _topk(gathered, glob):
-        import jax as _jx
+        from fast_limo_tpu.ops import dispatch
 
         rows, nc, owned = gathered
-        if owned is None and _jx.devices()[0].platform in ("tpu", "axon"):
+        if owned is None and dispatch.kernel_enabled("knn"):
             # fused entry-match + distance + k-min (ops/knn_rows.py)
             from fast_limo_tpu.ops import knn_rows
 
@@ -134,10 +134,9 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
         keep = good & (local_cum <= max_num_matches)
         return n_abcd, keep
 
-    import jax as _jax
+    from fast_limo_tpu.ops import dispatch
 
-    use_kernel = (_jax.devices()[0].platform in ("tpu", "axon")
-                  and pc.dtype == jnp.float32)
+    use_kernel = (dispatch.kernel_enabled("hstats") and pc.dtype == jnp.float32)
 
     if knn_refresh == "first":
         # correspondences (neighbor sets, plane fits, gates) are resolved

@@ -448,6 +448,9 @@ def build_prop_step(cfg: Config):
         last_i = jnp.maximum(n_imu - 1, 0)
         t2 = jnp.where(n_imu > 0, stamp[last_i], last_prop_time)
         w2 = jnp.where(n_imu > 0, gyro_bl[last_i], last_w_raw_bl)
-        return x2, P2, t2, w2
+        # corrected-measurement carries (deskew frame w0/a0 for the next scan)
+        wc2 = gyro_c[last_i]
+        ac2 = acc_c[last_i]
+        return x2, P2, t2, w2, wc2, ac2
 
     return jax.jit(prop_step)

@@ -179,7 +179,8 @@ def gain_tpu(HTH, HTh, P, R, *, interpret: bool = False):
 
 def gain(HTH, HTh, P, R):
     """Dispatch: Pallas kernel on TPU f32, jnp reference elsewhere."""
-    platform = jax.devices()[0].platform
-    if _HAS_PALLAS and platform in ("tpu", "axon") and P.dtype == jnp.float32:
+    from fast_limo_tpu.ops import dispatch
+
+    if _HAS_PALLAS and dispatch.kernel_enabled("gain") and P.dtype == jnp.float32:
         return gain_tpu(HTH, HTh, P, R)
     return gain_reference(HTH, HTh, P, R)

@@ -134,3 +134,35 @@ def test_no_pending_falls_back_to_scan_state():
     ws = loc.get_world_state()
     np.testing.assert_array_equal(ws["pos"], np.asarray(loc.state.x.pos))
     assert loc._prop_step is None  # fallback never built/dispatched it
+
+
+def test_imu_overflow_preintegration_matches_large_batch():
+    """A batch overflowing tpu.imu_batch is pre-integrated through the prop
+    step; the trajectory must match a run whose batch cap holds everything
+    (same algebra, different association order → tight f32 tolerance)."""
+    seq = _seq(n=5, seed=21)
+    stamps, acc, gyro = seq.imu_stream()
+    scans = [seq.scan(i) for i in range(5)]
+
+    def run(imu_batch, delay_first):
+        cfg = small_cfg()
+        cfg.tpu.imu_batch = imu_batch
+        loc = Localizer(cfg)
+        si = 0
+        for k in range(len(stamps)):
+            loc.update_imu(stamps[k], acc[k], gyro[k])
+            while si < 5 and scans[si][0] <= stamps[k]:
+                # hold back the first scan so 40+ samples accumulate
+                if delay_first and si == 0 and stamps[k] < 0.45:
+                    break
+                st, pts, traw = scans[si]
+                loc.update_pointcloud(pts, traw, st)
+                si += 1
+        return loc
+
+    big = run(128, True)      # all samples fit one scan batch
+    small = run(32, True)     # overflow path: pre-integration kicks in
+    assert len(big.trajectory) == len(small.trajectory) == 5
+    for ta, tb in zip(big.trajectory, small.trajectory):
+        np.testing.assert_allclose(ta["pos"], tb["pos"], atol=2e-3)
+        np.testing.assert_allclose(ta["quat"], tb["quat"], atol=2e-4)
