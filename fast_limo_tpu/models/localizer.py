@@ -75,6 +75,7 @@ class Localizer:
         self.last_output = None                           # last ScanOutput (device)
         self._structure_checked = False
         self._scans_since_evict = 0
+        self._evict_probe = None          # lagged device num_points scalar
         # rolling-origin eviction policy for bounded map capacity:
         # evict when occupancy crosses the threshold (0 disables)
         self.evict_radius: float = 0.0
@@ -359,8 +360,17 @@ class Localizer:
         if self._scans_since_evict < 16:   # cheap cadence: check every 16 scans
             return
         self._scans_since_evict = 0
+        # Read the occupancy PROBE saved at the previous cadence mark (16
+        # scans back): that scalar is long computed, so int() is a cheap
+        # transfer — reading the CURRENT num_points here would block on the
+        # scan step just dispatched (a hot-path device sync, the same stall
+        # class _bound_retention avoids). The decision lags one cadence
+        # (16 scans ≈ 1.6 s); evict_occupancy leaves headroom for that.
+        probe, self._evict_probe = self._evict_probe, self.state.map.num_points
+        if probe is None:
+            return
         cap = self.cfg.tpu.map_capacity * self.cfg.map_points_per_voxel
-        if int(self.state.map.num_points) < self.evict_occupancy * cap:
+        if int(probe) < self.evict_occupancy * cap:
             return
         from fast_limo_tpu.models import mapper
         new_map = mapper.evict_far(self.state.map, pos, self.evict_radius,

@@ -77,6 +77,21 @@ class ScanBatch(NamedTuple):
     imu_valid: jnp.ndarray  # (K,)
 
 
+class DebugOutput(NamedTuple):
+    """``cfg.debug``-gated intermediates, mirroring the reference's debug
+    publishers (src/main.cpp:198-203, ROSutils.hpp:216-252): the original
+    (filtered, pre-deskew) cloud, the deskewed cloud, and the per-match
+    plane data behind the match-marker visualizer."""
+
+    orig_points: jnp.ndarray       # (N,3) filtered scan, sensor frame, pre-deskew
+    orig_valid: jnp.ndarray        # (N,)
+    deskewed: jnp.ndarray          # (N,3) deskewed full-res cloud, Xt2 frame
+    deskewed_valid: jnp.ndarray    # (N,)
+    match_planes: jnp.ndarray      # (Q,4) fitted plane [n, d] per pc2match point
+    match_keep: jnp.ndarray        # (Q,) final gate mask (these formed H)
+    match_dist: jnp.ndarray        # (Q,) signed point-to-plane distance at x⁺
+
+
 class ScanOutput(NamedTuple):
     pos: jnp.ndarray
     quat: jnp.ndarray
@@ -89,6 +104,7 @@ class ScanOutput(NamedTuple):
     n_deskewed: jnp.ndarray
     n_pc2match: jnp.ndarray
     scan_stamp: jnp.ndarray
+    debug: object = None           # DebugOutput when cfg.debug, else None
 
 
 def init_state(cfg: Config, dtype=None) -> LIOState:
@@ -198,7 +214,7 @@ def build_scan_step(cfg: Config, *, donate: bool = True, jit: bool = True,
         pc2_valid = ds_valid[:n_pc2match]
 
         # ---- iterated manifold update (re-matching per iteration) ----
-        _h_rows, h_stats = measurement.make_h_model(
+        h_closures = measurement.make_h_model(
             s.map, pc2match, pc2_valid,
             voxel_size=voxel_size, k=k, probes=probes,
             max_dist_plane=mp_cfg.MAX_DIST_PLANE,
@@ -208,7 +224,8 @@ def build_scan_step(cfg: Config, *, donate: bool = True, jit: bool = True,
             shard_axis=shard_axis, num_shards=num_shards,
             query_axis=query_axis, num_query_shards=num_query_shards,
             knn_refresh=cfg.tpu.knn_refresh, x0=x_t2,
-            neighborhood=cfg.tpu.knn_neighborhood)
+            neighborhood=cfg.tpu.knn_neighborhood, with_debug=cfg.debug)
+        h_stats = h_closures[1]
         x_u, P_u, n_iters = iekf.update_iterated(
             x_t2, P_t2, h_stats,
             R=cfg.ikfom.lidar_noise, D=cfg.ikfom.degeneracy_thresh,
@@ -277,6 +294,15 @@ def build_scan_step(cfg: Config, *, donate: bool = True, jit: bool = True,
             n_iters=n_iters, n_deskewed=jnp.sum(pvalid),
             n_pc2match=jnp.sum(pc2_valid), scan_stamp=scan_end,
         )
+        if cfg.debug:
+            # gated at trace time: with cfg.debug False none of this is in
+            # the program (tests/test_debug.py asserts zero added cost)
+            n_abcd, keep, dist = h_closures[2](x_u)
+            out = out._replace(debug=DebugOutput(
+                orig_points=pts, orig_valid=pvalid,
+                deskewed=p_xt2, deskewed_valid=pvalid,
+                match_planes=n_abcd, match_keep=keep & do_update,
+                match_dist=dist))
         return s_next, out
 
     if jit:

@@ -69,8 +69,41 @@ def _batch_specs() -> pl.ScanBatch:
     return pl.ScanBatch(*([P()] * len(pl.ScanBatch._fields)))
 
 
-def _out_specs() -> pl.ScanOutput:
-    return pl.ScanOutput(*([P()] * len(pl.ScanOutput._fields)))
+def _out_specs(cfg: Config) -> pl.ScanOutput:
+    # the debug subtree must mirror the output structure: a DebugOutput of
+    # replicated specs when cfg.debug, the empty pytree (None) otherwise
+    dbg = (pl.DebugOutput(*([P()] * len(pl.DebugOutput._fields)))
+           if cfg.debug else None)
+    out = pl.ScanOutput(*([P()] * len(pl.ScanOutput._fields)))
+    return out._replace(debug=dbg)
+
+
+def comm_volume(cfg: Config, n_map: int, n_data: int = 1) -> dict:
+    """Analytic per-scan, per-device collective payloads (bytes).
+
+    The sharded step's ICI traffic is fully determined by the config, so
+    scaling efficiency on real multi-chip hardware is predictable without
+    the hardware: the only large collective is the kNN top-k ``all_gather``
+    over the 'map' axis; the 'data' axis moves just 12×12 sufficient
+    statistics.  (Ring all_gather: each device receives D−1 remote shards.)
+    """
+    k = cfg.ikfom.mapping.NUM_MATCH_POINTS
+    n_q = cfg.ikfom.mapping.MAX_NUM_PC2MATCH // max(n_data, 1)
+    itemsize = jnp.dtype(cfg.tpu.dtype).itemsize
+    resolves = 1 if cfg.tpu.knn_refresh == "first" else cfg.ikfom.MAX_NUM_ITERS
+    # per resolve, per device: nbrs (N_q,k,3) + sq (N_q,k) from D_m−1 peers
+    knn_gather = (n_map - 1) * n_q * k * 4 * itemsize * resolves
+    # per update iteration: HᵀH (12,12) + Hᵀh (12,) psum over 'data'
+    iters = cfg.ikfom.MAX_NUM_ITERS
+    stats_psum = (2 * (n_data - 1) / max(n_data, 1)) * 156 * itemsize * iters
+    # replicated global num_points: one scalar psum over 'map'
+    count_psum = 4 if n_map > 1 else 0
+    return {
+        "knn_allgather_bytes": int(knn_gather),
+        "hstats_psum_bytes": int(stats_psum),
+        "num_points_psum_bytes": int(count_psum),
+        "total_bytes": int(knn_gather + stats_psum + count_psum),
+    }
 
 
 def build_sharded_scan_step(cfg: Config, mesh: Mesh) -> Tuple:
@@ -93,7 +126,7 @@ def build_sharded_scan_step(cfg: Config, mesh: Mesh) -> Tuple:
         jax.shard_map(
             inner, mesh=mesh,
             in_specs=(_state_specs(cfg), _batch_specs()),
-            out_specs=(_state_specs(cfg), _out_specs()),
+            out_specs=(_state_specs(cfg), _out_specs(cfg)),
             check_vma=False,
         ),
         donate_argnums=(0,),

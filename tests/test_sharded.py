@@ -78,3 +78,87 @@ class TestMesh2D:
         assert abs(n_s - n_1) <= 0.05 * max(n_s, n_1)
         np.testing.assert_allclose(np.asarray(state_sh.P), np.asarray(state_1.P),
                                    atol=1e-3)
+
+
+@needs_devices
+class TestShardedLifecycle:
+    """Eviction and checkpoint/resume under map sharding (round-2 verdict
+    item 10): the lifecycle ops are elementwise/collective-free on the
+    sharded table, so they must compose with the mesh without gathering."""
+
+    def _run(self, step, state, cfg, n=3):
+        for i in range(n):
+            state, out = step(state, ge._example_batch(cfg, seed=i))
+        return state, out
+
+    def test_evict_far_under_sharding(self):
+        import jax
+
+        from fast_limo_tpu.models import mapper
+
+        n_dev = 4
+        cfg = ge._tiny_cfg(n_pts=512, map_cap=1024, n_shards=n_dev)
+        mesh = sharded.make_mesh(n_dev)
+        step, state = sharded.build_sharded_scan_step(cfg, mesh)
+        state, out = self._run(step, state, cfg)
+        n_before = int(state.map.num_points)
+        assert n_before > 0
+
+        # evict everything beyond 5 m of the current pose; the jitted call
+        # sees sharded table arrays — the op is elementwise, so XLA keeps
+        # the sharding (no resharding collectives needed)
+        evict = jax.jit(lambda m, c: mapper.evict_far(
+            m, c, 5.0, voxel_size=cfg.map_voxel_size))
+        new_map = evict(state.map, out.pos)
+        n_after = int(new_map.num_points)
+        assert 0 <= n_after < n_before
+        assert new_map.table.sharding == state.map.table.sharding
+
+        # pipeline continues on the evicted (still-sharded) map
+        state = state._replace(map=new_map)
+        state, out2 = self._run(step, state, cfg, n=1)
+        assert np.isfinite(np.asarray(out2.pos)).all()
+
+    def test_checkpoint_roundtrip_under_sharding(self, tmp_path):
+        import jax
+        from jax.sharding import NamedSharding
+
+        from fast_limo_tpu.utils import checkpoint as ckpt
+
+        n_dev = 4
+        cfg = ge._tiny_cfg(n_pts=512, map_cap=1024, n_shards=n_dev)
+        mesh = sharded.make_mesh(n_dev)
+        step, state = sharded.build_sharded_scan_step(cfg, mesh)
+        state, _ = self._run(step, state, cfg)
+
+        path = str(tmp_path / "sharded.npz")
+        ckpt.save_state(path, state)               # device_get gathers shards
+
+        # restore and re-place with the mesh shardings
+        restored = ckpt.load_state(path, state)
+        shardings = jax.tree_util.tree_map(
+            lambda spec: NamedSharding(mesh, spec),
+            sharded._state_specs(cfg),
+            is_leaf=lambda x: isinstance(x, sharded.P))
+        restored = jax.device_put(restored, shardings)
+
+        # bitwise-identical continuation: one more step from the restored
+        # state matches one more step from the live state
+        batch = ge._example_batch(cfg, seed=99)
+        s_live, out_live = step(state, batch)
+        s_rest, out_rest = step(restored, batch)
+        np.testing.assert_array_equal(np.asarray(out_live.pos),
+                                      np.asarray(out_rest.pos))
+        np.testing.assert_array_equal(np.asarray(s_live.map.num_points),
+                                      np.asarray(s_rest.map.num_points))
+
+    def test_comm_volume_model(self):
+        cfg = ge._tiny_cfg(n_pts=512, map_cap=1024, n_shards=4)
+        v1 = sharded.comm_volume(cfg, 1, 1)
+        v4 = sharded.comm_volume(cfg, 4, 1)
+        v42 = sharded.comm_volume(cfg, 4, 2)
+        assert v1["knn_allgather_bytes"] == 0       # single chip: no ICI
+        assert v4["knn_allgather_bytes"] > 0
+        # query sharding halves the per-device gather payload
+        assert v42["knn_allgather_bytes"] == v4["knn_allgather_bytes"] // 2
+        assert v42["hstats_psum_bytes"] > 0
