@@ -545,6 +545,32 @@ def evict_far(m: VoxelHashMap, center, radius: float, *, voxel_size: float) -> V
                       num_points=m.num_points - removed)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("radius", "voxel_size", "max_results"))
+def radius_search(m: VoxelHashMap, queries, radius: float, *,
+                  voxel_size: float, max_results: int = 16
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """All stored points within ``radius`` of each query, ascending by
+    distance, capped at ``max_results`` per query (API parity with
+    `Octree::radiusSearch`, Octree.hpp:454-526 — unused by the reference's
+    own pipeline but part of its public map surface).
+
+    Coverage bound: candidates come from the 27-voxel neighborhood, so the
+    result is complete only for ``radius <= voxel_size``; larger radii are
+    truncated to the neighborhood (asserted).
+
+    Returns ``(pts (N,R,3), sq_dists (N,R) ascending, valid (N,R))`` where
+    invalid lanes carry ``inf`` distance.
+    """
+    assert radius <= voxel_size + 1e-6, (
+        f"radius {radius} exceeds the 27-neighborhood coverage bound "
+        f"(voxel_size {voxel_size})")
+    nbrs, sq, valid = knn(m, queries, voxel_size=voxel_size, k=max_results,
+                          neighborhood=27)
+    inside = valid & (sq <= radius * radius)
+    return nbrs, jnp.where(inside, sq, jnp.inf), inside
+
+
 def knn(m: VoxelHashMap, queries, *, voxel_size: float, k: int, probes: int = 0,
         num_shards: int = 1, shard_index=0, neighborhood: int = 27
         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

@@ -199,3 +199,45 @@ class TestPlanarMirror:
         # the rebuilt mirror is an exact lane permutation of the table
         np.testing.assert_array_equal(np.asarray(m.ptable),
                                       self._planar_from_table(m))
+
+
+class TestRadiusSearch:
+    """API parity with Octree::radiusSearch (Octree.hpp:454-526)."""
+
+    def test_matches_brute_force(self, rng):
+        stored = rng.uniform(-6, 6, (400, 3)).astype(np.float32)
+        m = mapper.create(4096, 8)
+        m = mapper.insert(m, jnp.asarray(stored), jnp.ones(400, bool),
+                          voxel_size=VOX)
+        qs = rng.uniform(-5, 5, (40, 3)).astype(np.float32)
+        r = 0.9 * VOX
+        pts, sq, valid = mapper.radius_search(
+            m, jnp.asarray(qs), r, voxel_size=VOX, max_results=32)
+        pts, sq, valid = map(np.asarray, (pts, sq, valid))
+        # stored points survive voxel-bucket capping: compare against the
+        # map's own contents, not the raw input
+        from fast_limo_tpu.utils import checkpoint
+
+        kept = np.asarray(checkpoint.map_points(m))
+        for i, q in enumerate(qs):
+            d2 = np.sum((kept - q) ** 2, axis=1)
+            want = np.sort(d2[d2 <= r * r])[:32]
+            got = sq[i][valid[i]]
+            assert len(got) == len(want)
+            np.testing.assert_allclose(np.sort(got), want, rtol=1e-5)
+            # returned points really are within the radius
+            dd = np.linalg.norm(pts[i][valid[i]] - q, axis=1)
+            assert np.all(dd <= r + 1e-5)
+
+    def test_ascending_and_capped(self, rng):
+        stored = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+        m = mapper.create(4096, 8)
+        m = mapper.insert(m, jnp.asarray(stored), jnp.ones(300, bool),
+                          voxel_size=VOX)
+        qs = np.zeros((1, 3), np.float32)
+        _, sq, valid = mapper.radius_search(
+            m, jnp.asarray(qs), VOX, voxel_size=VOX, max_results=4)
+        sq, valid = np.asarray(sq), np.asarray(valid)
+        assert valid.sum() <= 4
+        got = sq[0][valid[0]]
+        assert np.all(np.diff(got) >= 0)
