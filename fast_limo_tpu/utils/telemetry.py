@@ -41,17 +41,47 @@ class RollingStat:
         return float(np.max(self.buf)) if self.buf else 0.0
 
 
+def _cpu_model() -> str:
+    """Host CPU brand string (getCPUinfo's __cpuid readout,
+    Localizer.cpp:951-972 — here via /proc/cpuinfo)."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    return line.split(":", 1)[1].strip()
+    except OSError:
+        pass
+    return "unknown"
+
+
+def _rss_gb() -> float:
+    """Resident set size in GB (the board's RAM line, Localizer.cpp:1002)."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return pages * 4096 / 1e9
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
 class Telemetry:
     """Collects per-scan timings and renders the performance board."""
 
     def __init__(self, capacity: int = 1000):
+        import os
+
         self.scan_ms = RollingStat(capacity)       # cpu_times equivalent
         self.imu_rate = RollingStat(capacity)
         self.lidar_rate = RollingStat(capacity)
+        self.cpu_pct = RollingStat(capacity)       # cpu_percents equivalent
         self._prev_imu_stamp: Optional[float] = None
         self._prev_scan_stamp: Optional[float] = None
         self._t0: Optional[float] = None
         self.first_stamp: Optional[float] = None
+        self.cpu_model = _cpu_model()
+        self.n_cores = os.cpu_count() or 1
+        t = os.times()
+        self._last_cpu = (t.user + t.system, time.perf_counter())
 
     # ---- hooks ----
     def imu_tick(self, stamp: float) -> None:
@@ -71,6 +101,15 @@ class Telemetry:
         if self._prev_scan_stamp is not None and stamp > self._prev_scan_stamp:
             self.lidar_rate.push(1.0 / (stamp - self._prev_scan_stamp))
         self._prev_scan_stamp = stamp
+        # process CPU load normalized by cores (Localizer.cpp:1024-1033)
+        import os
+
+        t = os.times()
+        cpu, wall = t.user + t.system, time.perf_counter()
+        dcpu, dwall = cpu - self._last_cpu[0], wall - self._last_cpu[1]
+        if dwall > 0.25:     # stable window: update a few times per second
+            self.cpu_pct.push(100.0 * dcpu / dwall / self.n_cores)
+            self._last_cpu = (cpu, wall)
 
     # ---- reporting ----
     def stats(self) -> dict:
@@ -81,6 +120,9 @@ class Telemetry:
             "imu_hz": self.imu_rate.mean,
             "lidar_hz": self.lidar_rate.mean,
             "scans_per_s": 1e3 / self.scan_ms.mean if self.scan_ms.mean else 0.0,
+            "cpu_pct": self.cpu_pct.last,
+            "cpu_pct_max": self.cpu_pct.max,
+            "ram_gb": _rss_gb(),
         }
 
     def board(self, state_info: dict = None) -> str:
@@ -120,5 +162,8 @@ class Telemetry:
         row(f"Computation :: {s['ms_per_scan']:7.2f} ms  // Avg: "
             f"{s['ms_per_scan_mean']:7.2f} / Max: {s['ms_per_scan_max']:7.2f}")
         row(f"Throughput  :: {s['scans_per_s']:7.2f} scans/s")
+        row(f"Host :: {self.cpu_model[:40]} x{self.n_cores}")
+        row(f"CPU Load :: {s['cpu_pct']:5.1f} % // Max: {s['cpu_pct_max']:5.1f} %"
+            f"   RAM :: {s['ram_gb']:.2f} GB")
         rows.append(line)
         return "\n".join(rows)
