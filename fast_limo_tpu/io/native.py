@@ -51,6 +51,7 @@ def get_lib():
         lib.flh_ring_push.restype = ctypes.c_int
         lib.flh_ring_pop.restype = ctypes.c_int
         lib.flh_ring_size.restype = ctypes.c_uint64
+        lib.flh_pack_scan_i16.restype = ctypes.c_int64
         _lib = lib
         return lib
 
@@ -126,6 +127,24 @@ def preprocess(xyz, t_rel, n_out: int, *, crop_active=False,
     out_t[:n] = t_rel[idx]
     out_v[:n] = True
     return out_xyz, out_t, out_v, n
+
+
+def pack_scan_i16(pts, t_raw, n_cap: int, quant: float):
+    """One-pass int16 scan packing (Localizer._pack_scan hot path).
+
+    pts (n,3) f32 contiguous, t_raw (n,) f32 contiguous →
+    (out (n_cap,4) int16 zero-padded, t_scale, n_packed); None when the
+    native library is unavailable (caller falls back to NumPy)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty((n_cap, 4), np.int16)
+    ts = ctypes.c_float(0.0)
+    n = lib.flh_pack_scan_i16(
+        _cptr(pts), _cptr(t_raw), ctypes.c_int64(len(pts)),
+        ctypes.c_float(quant), _cptr(out), ctypes.c_int64(n_cap),
+        ctypes.byref(ts))
+    return out, float(ts.value), int(n)
 
 
 class SPSCRing:

@@ -312,6 +312,7 @@ def update_iterated(
     D: float,
     max_iters: int,
     limit: float,
+    unroll: bool = None,
 ):
     """Iterated dynamic-share update (esekfom.hpp:1620-1823).
 
@@ -384,5 +385,32 @@ def update_iterated(
         "i": jnp.asarray(-1, jnp.int32),  # reference loop runs i = -1 … max-1
         "done": jnp.asarray(False),
     }
-    out = jax.lax.while_loop(cond, body, carry0)
+    if unroll is None:
+        unroll = max_iters <= 8
+    if unroll:
+        # Unrolled masked iterations: the same math as the while_loop
+        # (tests/test_iekf.py: equal iteration counts, states to f64
+        # reassociation noise), but XLA schedules the whole chain as
+        # straight-line code — no per-iteration loop bookkeeping /
+        # kernel-launch barriers.  With MAX_NUM_ITERS=3 and the
+        # two-converged-iterations stop rule the loop almost always runs
+        # to max anyway, so the masked extra work is ~zero.
+        # the reference loop index runs i = -1 … max_iters-1 (done fires on
+        # incoming i == max_iters-1), i.e. max_iters+1 body evaluations
+        carry = carry0
+        for _ in range(max_iters + 1):
+            new = body(carry)
+            was_done = carry["done"]
+            keep = lambda old, nxt: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(was_done, a, b), old, nxt)
+            carry = {
+                "x": keep(carry["x"], new["x"]),
+                "P": jnp.where(was_done, carry["P"], new["P"]),
+                "t": jnp.where(was_done, carry["t"], new["t"]),
+                "i": jnp.where(was_done, carry["i"], new["i"]),
+                "done": was_done | new["done"],
+            }
+        out = carry
+    else:
+        out = jax.lax.while_loop(cond, body, carry0)
     return out["x"], out["P"], out["i"] + 1

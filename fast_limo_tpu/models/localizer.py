@@ -231,12 +231,23 @@ class Localizer:
         quant = float(cfg.tpu.quantize_transfer)
         t_scale = 1.0
         if quant > 0:
-            scan_pack = np.zeros((N, 4), np.int16)
-            np.clip(np.rint(pts * (1.0 / quant)), -32767, 32767,
-                    out=scan_pack[:npts, :3], casting="unsafe")
-            t_scale = max(float(np.max(np.abs(traw))), 1e-12) / 32767.0
-            np.clip(np.rint(traw * (1.0 / t_scale)), -32767, 32767,
-                    out=scan_pack[:npts, 3], casting="unsafe")
+            # native one-pass quantizer (csrc/fastlimo_host.cpp) — the NumPy
+            # chain below costs 1-2 ms/scan on the streaming host (measured,
+            # tools/probe_chunk_anomaly.py); the C pass ~0.1 ms
+            from fast_limo_tpu.io import native
+
+            packed = native.pack_scan_i16(
+                np.ascontiguousarray(pts, np.float32),
+                np.ascontiguousarray(traw, np.float32), N, quant)
+            if packed is not None:
+                scan_pack, t_scale, _n = packed
+            else:
+                scan_pack = np.zeros((N, 4), np.int16)
+                np.clip(np.rint(pts * (1.0 / quant)), -32767, 32767,
+                        out=scan_pack[:npts, :3], casting="unsafe")
+                t_scale = max(float(np.max(np.abs(traw))), 1e-12) / 32767.0
+                np.clip(np.rint(traw * (1.0 / t_scale)), -32767, 32767,
+                        out=scan_pack[:npts, 3], casting="unsafe")
         else:
             scan_pack = np.zeros((N, 4), np.float32)
             scan_pack[:npts, :3] = pts

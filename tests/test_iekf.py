@@ -257,3 +257,60 @@ class TestPredictScan:
         # stacked states: entry i is the post-state of step i
         np.testing.assert_allclose(np.asarray(xs.pos[-1]),
                                    np.asarray(xs_f.pos), atol=1e-12)
+
+
+class TestUnrolledUpdate:
+    def test_unrolled_matches_while_loop(self, rng):
+        """The unrolled masked update is the same math as the while_loop,
+        just scheduled straight-line — identical iteration counts, states
+        equal to f64 reassociation noise (XLA fuses the two program forms
+        differently, so exact bit equality is not guaranteed)."""
+        import numpy as np
+
+        d = rand_state(rng)
+        d["pos"] = np.zeros(3)
+        P = rand_P(rng) * 0.01
+        M = 60
+        n = rng.normal(size=(M, 3))
+        n /= np.linalg.norm(n, axis=1, keepdims=True)
+        planes_d = rng.normal(size=M) * 0.1
+        pts = rng.normal(size=(M, 3)) * 5
+        _, h_j, _ = synthetic_h(n, planes_d, pts)
+
+        for max_iters in (1, 3, 5):
+            xu, Pu, iu = iekf.update_iterated(
+                to_nav(d), jnp.asarray(P), h_j, R=1e-3, D=5.0,
+                max_iters=max_iters, limit=1e-3, unroll=True)
+            xw, Pw, iw = iekf.update_iterated(
+                to_nav(d), jnp.asarray(P), h_j, R=1e-3, D=5.0,
+                max_iters=max_iters, limit=1e-3, unroll=False)
+            assert int(iu) == int(iw)
+            np.testing.assert_allclose(np.asarray(Pu), np.asarray(Pw),
+                                       atol=1e-12)
+            for k in d:
+                np.testing.assert_allclose(np.asarray(getattr(xu, k)),
+                                           np.asarray(getattr(xw, k)),
+                                           atol=1e-12, err_msg=k)
+
+    def test_unrolled_early_convergence_freezes_state(self, rng):
+        """With a tiny problem that converges immediately, extra unrolled
+        iterations must not perturb the result (mask correctness)."""
+        import numpy as np
+
+        d = rand_state(rng)
+        P = rand_P(rng) * 0.01
+
+        def h_zero(x):
+            return jnp.zeros((12, 12)), jnp.zeros(12)
+
+        x3, P3, i3 = iekf.update_iterated(to_nav(d), jnp.asarray(P), h_zero,
+                                          R=1e-3, D=5.0, max_iters=3,
+                                          limit=1e-3, unroll=True)
+        x9, P9, i9 = iekf.update_iterated(to_nav(d), jnp.asarray(P), h_zero,
+                                          R=1e-3, D=5.0, max_iters=9,
+                                          limit=1e-3, unroll=True)
+        assert int(i3) == int(i9)
+        np.testing.assert_array_equal(np.asarray(P3), np.asarray(P9))
+        for k in d:
+            np.testing.assert_array_equal(np.asarray(getattr(x3, k)),
+                                          np.asarray(getattr(x9, k)), err_msg=k)

@@ -90,3 +90,46 @@ class TestRing:
         while ring.push(struct.pack("<d", 1.0)):
             pushed += 1
         assert pushed == 4
+
+
+def test_pack_scan_i16_matches_numpy():
+    from fast_limo_tpu.io import native
+
+    rng = np.random.default_rng(3)
+    n, cap, quant = 1000, 1200, 0.004
+    pts = rng.uniform(-60, 60, (n, 3)).astype(np.float32)
+    traw = rng.uniform(0, 0.1, n).astype(np.float32)
+    got = native.pack_scan_i16(pts, traw, cap, quant)
+    if got is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    out, t_scale, n_packed = got
+    assert n_packed == n
+    want_ts = max(float(np.max(np.abs(traw))), 1e-12) / 32767.0
+    np.testing.assert_allclose(t_scale, want_ts, rtol=1e-6)
+    want = np.zeros((cap, 4), np.int16)
+    np.clip(np.rint(pts * (1.0 / quant)), -32767, 32767,
+            out=want[:n, :3], casting="unsafe")
+    np.clip(np.rint(traw * (1.0 / t_scale)), -32767, 32767,
+            out=want[:n, 3], casting="unsafe")
+    # rounding-boundary lanes may differ by 1 LSB (the C pass quantizes with
+    # the f32 scale the DEVICE decodes with; the NumPy chain used a double
+    # scale) — 1 LSB = 4 mm xyz, ~3 µs time: far below sensor noise
+    diff = np.abs(out.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.005
+
+
+def test_pack_scan_i16_clips_and_pads():
+    from fast_limo_tpu.io import native
+
+    pts = np.array([[1e6, -1e6, 0.0]], np.float32)     # far out of range
+    traw = np.array([0.05], np.float32)
+    got = native.pack_scan_i16(pts, traw, 4, 0.004)
+    if got is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    out, _ts, n = got
+    assert n == 1
+    assert out[0, 0] == 32767 and out[0, 1] == -32767
+    np.testing.assert_array_equal(out[1:], 0)

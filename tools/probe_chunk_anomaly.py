@@ -95,10 +95,14 @@ def main():
     n_scans = n_warm + n_epochs * epoch_len
     cfg = bench.kitti_like_cfg()
     cfg.tpu.scan_chunk = chunk
+    # long probe (392 scans ≈ 580 m at 15 m/s): needs a longer world than
+    # the default 400 m corridor
     seq = synthetic.SyntheticSequence(
         seed=7, n_scans=n_scans, points_per_scan=32768,
         noise_pt=0.01, noise_gyro=5e-4, noise_acc=5e-3,
-        traj=synthetic.Trajectory(v_forward=15.0, yaw_amp=0.5))
+        traj=synthetic.Trajectory(v_forward=15.0, yaw_amp=0.5),
+        world=synthetic.build_world(7, extent=700.0, n_wall_pts=260_000,
+                                    n_ground_pts=260_000))
     loc = InstrumentedLocalizer(cfg)
     stamps, acc, gyro = seq.imu_stream()
     scans = [seq.scan(i) for i in range(n_scans)]
