@@ -1,0 +1,141 @@
+"""Reference-style asynchronous sensor ingestion.
+
+The reference runs its two sensor callbacks on a ROS ``AsyncSpinner(0)``
+thread pool with mutex/condvar handoff into the filter (src/main.cpp:209,
+Localizer.cpp:326,596-605,882-889): an IMU callback must NEVER block on a
+scan update.  The TPU-native counterpart is this ingestion layer: producer
+threads ``push_imu``/``push_scan`` and return immediately — IMU records ride
+the lock-free C SPSC ring (csrc/fastlimo_host.cpp, 56-byte records), scans a
+thread-safe queue — while ONE dispatch thread drains both into the engine in
+stamp order.
+
+Because the engine's scan dispatch is gated purely on IMU time coverage
+("IMU must cover the scan end", models/localizer.py:_drain), the replay is
+independent of producer/consumer interleaving: the async trajectory equals
+the synchronous one exactly (tests/test_stream.py).
+"""
+
+from __future__ import annotations
+
+import queue
+import struct
+import threading
+from collections import deque
+from typing import Optional
+
+import numpy as np
+
+_IMU_FMT = "<7d"                      # stamp, acc[3], gyro[3]
+_IMU_SIZE = struct.calcsize(_IMU_FMT)
+
+
+class AsyncIngest:
+    """Non-blocking sensor intake feeding a Localizer/SLAM engine.
+
+    ``engine`` needs ``update_imu(stamp, acc, gyro)`` and
+    ``update_pointcloud(points, t_raw, stamp)`` — both `Localizer` and
+    `SLAM` qualify.  Call ``push_*`` from any single producer thread
+    (one producer per stream, like one ROS callback queue per topic);
+    ``close()`` drains everything and joins the dispatch thread.
+    """
+
+    def __init__(self, engine, imu_capacity: int = 8192):
+        self.engine = engine
+        self._imu_ring = None
+        self._imu_fallback: deque = deque()   # lock-free enough: single producer
+        try:
+            from fast_limo_tpu.io.native import SPSCRing
+
+            self._imu_ring = SPSCRing(imu_capacity, _IMU_SIZE)
+        except RuntimeError:
+            pass                               # no toolchain: deque fallback
+        self._scans: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._wake = threading.Event()
+        self.imu_dropped = 0                   # ring-full events (overrun)
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="fast_limo_tpu-dispatch")
+        self._thread.start()
+
+    # ------------------------------------------------------------- producers
+    def push_imu(self, stamp: float, acc, gyro) -> None:
+        """IMU callback: O(56-byte copy), never blocks on the filter."""
+        if self._imu_ring is not None:
+            rec = struct.pack(_IMU_FMT, float(stamp), *map(float, acc),
+                              *map(float, gyro))
+            if not self._imu_ring.push(rec):
+                self.imu_dropped += 1          # overrun: consumer stalled
+        else:
+            self._imu_fallback.append(
+                (float(stamp), np.asarray(acc, float), np.asarray(gyro, float)))
+        self._wake.set()
+
+    def push_scan(self, points, t_raw, stamp: float) -> None:
+        """LiDAR callback: hands the arrays off, never blocks on the filter."""
+        self._scans.put((np.asarray(points), np.asarray(t_raw), float(stamp)))
+        self._wake.set()
+
+    # -------------------------------------------------------------- consumer
+    def _drain_imu(self) -> bool:
+        got = False
+        if self._imu_ring is not None:
+            while True:
+                rec = self._imu_ring.pop()
+                if rec is None:
+                    break
+                v = struct.unpack(_IMU_FMT, rec)
+                self.engine.update_imu(v[0], np.asarray(v[1:4]),
+                                       np.asarray(v[4:7]))
+                got = True
+        else:
+            while self._imu_fallback:
+                s, a, g = self._imu_fallback.popleft()
+                self.engine.update_imu(s, a, g)
+                got = True
+        return got
+
+    def _drain_scans(self) -> bool:
+        got = False
+        while True:
+            try:
+                pts, traw, stamp = self._scans.get_nowait()
+            except queue.Empty:
+                break
+            self.engine.update_pointcloud(pts, traw, stamp)
+            got = True
+        return got
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            # IMU first each cycle: scans dispatch only once covered anyway,
+            # and fresher IMU lets a queued scan go out this cycle
+            any_work = self._drain_imu()
+            any_work |= self._drain_scans()
+            if not any_work:
+                self._wake.wait(timeout=0.002)
+                self._wake.clear()
+
+    def close(self) -> None:
+        """Drain outstanding records, stop the dispatch thread."""
+        while len(self) and self._thread.is_alive():
+            self._wake.set()
+            self._thread.join(timeout=0.01)
+        self._stop.set()
+        self._wake.set()
+        self._thread.join(timeout=5.0)
+        # final drain on the caller's thread (thread exited mid-queue?)
+        self._drain_imu()
+        self._drain_scans()
+
+    def __len__(self) -> int:
+        n = len(self._scans.queue)
+        n += len(self._imu_ring) if self._imu_ring is not None \
+            else len(self._imu_fallback)
+        return n
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
