@@ -35,6 +35,11 @@ def _wait_for_device(tries: int = 5) -> None:
         try:
             subprocess.run([sys.executable, "-c", code], timeout=150,
                            check=True, capture_output=True)
+            # the probe client's own teardown is the next wedge window —
+            # connecting immediately after ANY client exit parks the new
+            # client on a futex ~50% of the time (observed repeatedly);
+            # let the tunnel settle before this process connects
+            time.sleep(25)
             return
         except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
             time.sleep(60)
