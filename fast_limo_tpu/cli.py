@@ -21,11 +21,38 @@ def _build(args, tweak=None):
     cfg = Config.from_yaml(args.config) if args.config else Config()
     if tweak is not None:
         tweak(cfg)  # must run before SLAM(): Localizer snapshots flags at init
+    if getattr(args, "debug_dump", None):
+        cfg.debug = True
     if args.chunk and args.chunk > 1:
         cfg.tpu.scan_chunk = args.chunk   # chunked replay is odometry-only
     if args.no_loop or cfg.tpu.scan_chunk > 1:
         return cfg, SLAM(cfg, enable_loop_closure=False)
     return cfg, SLAM(cfg)
+
+
+def _dump_debug(args, slam):
+    """Write the final scan's DebugOutput to --debug-dump (.npz)."""
+    path = getattr(args, "debug_dump", None)
+    if not path:
+        return
+    import numpy as np
+
+    out = slam.loc.last_output
+    dbg = getattr(out, "debug", None)
+    if dbg is None:
+        print("debug dump requested but no scan produced debug output")
+        return
+    np.savez_compressed(
+        path,
+        orig_points=np.asarray(dbg.orig_points),
+        orig_valid=np.asarray(dbg.orig_valid),
+        deskewed=np.asarray(dbg.deskewed),
+        deskewed_valid=np.asarray(dbg.deskewed_valid),
+        match_planes=np.asarray(dbg.match_planes),
+        match_keep=np.asarray(dbg.match_keep),
+        match_dist=np.asarray(dbg.match_dist),
+        pos=np.asarray(out.pos), quat=np.asarray(out.quat))
+    print(f"debug scan → {path}")
 
 
 def cmd_synthetic(args):
@@ -70,6 +97,7 @@ def cmd_synthetic(args):
     if args.save_session:
         slam.save_session(args.save_session)
         print(f"session → {args.save_session}.*")
+    _dump_debug(args, slam)
 
 
 def cmd_sequence(args):
@@ -95,6 +123,7 @@ def cmd_sequence(args):
     if args.save_session:
         slam.save_session(args.save_session)
         print(f"session → {args.save_session}.*")
+    _dump_debug(args, slam)
 
 
 def cmd_make_synthetic(args):
@@ -152,6 +181,11 @@ def main(argv=None):
                              "container's JAX_PLATFORMS env var is rewritten "
                              "by the accelerator plugin's sitecustomize, so "
                              "the override must go through jax.config)")
+    common.add_argument("--debug-dump", default=argparse.SUPPRESS,
+                        help="enable cfg.debug and write the final scan's "
+                             "DebugOutput (original/deskewed clouds, match "
+                             "planes/distances) to this .npz — the "
+                             "reference's debug publishers, main.cpp:198-203")
 
     p = argparse.ArgumentParser(prog="fast_limo_tpu", parents=[common])
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -192,7 +226,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     for dest, dflt in (("config", None), ("out", None),
                        ("save_session", None), ("no_loop", False),
-                       ("chunk", 0), ("platform", None)):
+                       ("chunk", 0), ("platform", None),
+                       ("debug_dump", None)):
         if not hasattr(args, dest):
             setattr(args, dest, dflt)
     if args.platform:
