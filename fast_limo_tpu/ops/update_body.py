@@ -233,21 +233,17 @@ def _block_J(A_rot, A_ext, res2):
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _body_kernel(HTH_ref, HTh_ref, P_ref, dx_ref, sc_ref,
-                 xn_ref, Pf_ref, dxp_ref, gm_ref):
-    f32 = jnp.float32
-    HTH = HTH_ref[:, :]                    # (M, M)
-    P = P_ref[:, :]                        # (NS, NS) = P_prop
-    dx = dx_ref[0, :]                      # (NS,) = x ⊟ x_prop
+def _iter_core(HTH, HTh, P, dx, state_scalars, gp, inv_R):
+    """One full update-iteration's algebra as pure register math.
 
-    # flattened state x + x_prop.grav + 1/R from SMEM
-    xs = [sc_ref[0, i] for i in range(XF)]
-    pos = jnp.stack(xs[0:3]);   rot = jnp.stack(xs[3:7])
-    rot_LI = jnp.stack(xs[7:11]); t_LI = jnp.stack(xs[11:14])
-    vel = jnp.stack(xs[14:17]); bg = jnp.stack(xs[17:20])
-    ba = jnp.stack(xs[20:23]);  grav = jnp.stack(xs[23:26])
-    gp = jnp.stack([sc_ref[0, XF + i] for i in range(3)])   # x_prop.grav
-    inv_R = sc_ref[0, XF + 3]
+    ``state_scalars`` = (pos, rot, rot_LI, t_LI, vel, bg, ba, grav) as
+    scalar-built stacks; ``P`` is P_prop; ``dx`` = x ⊟ x_prop (NS,).
+    Returns ``(xn (XF,), Pf (NS,NS), dx_ (NS,), gersh_min ())`` under the
+    fast-path (identity degeneracy guard) assumption.  Shared by the
+    single-iteration kernel below and the whole-loop kernel
+    (ops/update_loop.py)."""
+    f32 = jnp.float32
+    pos, rot, rot_LI, t_LI, vel, bg, ba, grav = state_scalars
 
     # ---- chart projection J₁ (iekf._chart_project_P) ----
     A1 = _A_matrix(dx[3:6]).T
@@ -258,11 +254,10 @@ def _body_kernel(HTH_ref, HTh_ref, P_ref, dx_ref, sc_ref,
     P_it = _dot(_dot(J1, P), J1.T)                    # (NS, NS)
 
     # ---- gain (shared algebra with ops/gain.py) ----
-    K_x, K_h, K = gain_math(HTH, HTh_ref[0, :], P_it[:, 0:M], inv_R)
+    K_x, K_h, K = gain_math(HTH, HTh, P_it[:, 0:M], inv_R)
 
     # ---- dx_ = K_h + (K_x_full − I)·dx_new ----
     dx_ = K_h + _dot(K_x, dx_new[0:M]) - dx_new       # (NS,)
-    dxp_ref[0, :] = dx_
 
     # ---- Gershgorin lower bound on eig(HᵀH[0:6,0:6]) ----
     r6 = jax.lax.broadcasted_iota(jnp.int32, (6, 6), 0)
@@ -270,7 +265,7 @@ def _body_kernel(HTH_ref, HTh_ref, P_ref, dx_ref, sc_ref,
     H6 = HTH[0:6, 0:6]
     diag6 = jnp.sum(jnp.where(r6 == c6, H6, 0.0), axis=1)
     radii = jnp.sum(jnp.abs(H6), axis=1) - jnp.abs(diag6)
-    gm_ref[0, 0] = jnp.min(diag6 - radii)
+    gersh = jnp.min(diag6 - radii)
 
     # ---- boxplus (fast path: guard == identity) ----
     # dx_ leaves the vector domain here: lane-sliced (3,) segments added to
@@ -283,7 +278,7 @@ def _body_kernel(HTH_ref, HTh_ref, P_ref, dx_ref, sc_ref,
     rot_n = _quat_mul(rot, _exp_quat(dr))
     rot_LI_n = _quat_mul(rot_LI, _exp_quat(de))
     grav_n = _s2_boxplus(grav, dg)
-    xn_ref[0, :] = jnp.stack([
+    xn = jnp.stack([
         pos[0] + d[0], pos[1] + d[1], pos[2] + d[2],
         rot_n[0], rot_n[1], rot_n[2], rot_n[3],
         rot_LI_n[0], rot_LI_n[1], rot_LI_n[2], rot_LI_n[3],
@@ -312,7 +307,27 @@ def _body_kernel(HTH_ref, HTh_ref, P_ref, dx_ref, sc_ref,
     res2f = _dot(_nx_yy(grav_n), _mx(gp, dg))
     J2 = _block_J(A3, A4, res2f)
     Pf = _dot(_dot(J2, M0), J2.T)
-    Pf_ref[:, :] = 0.5 * (Pf + Pf.T)
+    return xn, 0.5 * (Pf + Pf.T), dx_, gersh
+
+
+def _body_kernel(HTH_ref, HTh_ref, P_ref, dx_ref, sc_ref,
+                 xn_ref, Pf_ref, dxp_ref, gm_ref):
+    # flattened state x + x_prop.grav + 1/R from SMEM
+    xs = [sc_ref[0, i] for i in range(XF)]
+    state_scalars = (
+        jnp.stack(xs[0:3]), jnp.stack(xs[3:7]), jnp.stack(xs[7:11]),
+        jnp.stack(xs[11:14]), jnp.stack(xs[14:17]), jnp.stack(xs[17:20]),
+        jnp.stack(xs[20:23]), jnp.stack(xs[23:26]))
+    gp = jnp.stack([sc_ref[0, XF + i] for i in range(3)])   # x_prop.grav
+    inv_R = sc_ref[0, XF + 3]
+
+    xn, Pf, dx_, gersh = _iter_core(
+        HTH_ref[:, :], HTh_ref[0, :], P_ref[:, :], dx_ref[0, :],
+        state_scalars, gp, inv_R)
+    xn_ref[0, :] = xn
+    Pf_ref[:, :] = Pf
+    dxp_ref[0, :] = dx_
+    gm_ref[0, 0] = gersh
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
