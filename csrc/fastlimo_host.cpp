@@ -184,19 +184,22 @@ int64_t flh_pack_scan_i16(const float* xyz, const float* t_raw, int64_t n,
     const float a = std::fabs(t_raw[i]);
     if (a > tmax) tmax = a;
   }
-  // scalar prep in double, then one f32 cast — matches NumPy's promotion
-  // (scalar 1/quant computed in double, cast to f32 for the array multiply)
+  // All quantization products are computed in DOUBLE: an f64 multiply is
+  // IEEE-identical between any compiler and NumPy, so the NumPy fallback
+  // (io/native.py pack_scan_i16_numpy) is bit-identical to this path —
+  // f32 products can land exactly on .5 ties whose resolution depends on
+  // how the compiler schedules the multiply (observed 1-LSB divergence).
   const float ts = (float)(std::max((double)tmax, 1e-12) / 32767.0);
-  const float inv_q = (float)(1.0 / (double)quant);
-  const float inv_ts = (float)(1.0 / (double)ts);
+  const double inv_q = 1.0 / (double)quant;
+  const double inv_ts = 1.0 / (double)ts;
   for (int64_t i = 0; i < n; i++) {
     for (int c = 0; c < 3; c++) {
-      float v = std::nearbyint(xyz[i * 3 + c] * inv_q);
-      v = std::min(32767.f, std::max(-32767.f, v));
+      double v = std::nearbyint((double)xyz[i * 3 + c] * inv_q);
+      v = std::min(32767.0, std::max(-32767.0, v));
       out[i * 4 + c] = (int16_t)v;
     }
-    float tv = std::nearbyint(t_raw[i] * inv_ts);
-    tv = std::min(32767.f, std::max(-32767.f, tv));
+    double tv = std::nearbyint((double)t_raw[i] * inv_ts);
+    tv = std::min(32767.0, std::max(-32767.0, tv));
     out[i * 4 + 3] = (int16_t)tv;
   }
   std::memset(out + n * 4, 0, sizeof(int16_t) * 4 * (size_t)(n_cap - n));

@@ -42,16 +42,24 @@ def _dump_debug(args, slam):
     if dbg is None:
         print("debug dump requested but no scan produced debug output")
         return
+    # chunked replay stacks outputs on a leading chunk axis, and inactive
+    # padding elements of a partial last chunk carry unmasked garbage debug
+    # lanes — slice the last ACTIVE element so the dump is always one scan
+    if np.asarray(dbg.match_planes).ndim == 3:
+        i = max(0, slam.loc.last_output_scans - 1)
+        pick = lambda a: np.asarray(a)[i]
+    else:
+        pick = np.asarray
     np.savez_compressed(
         path,
-        orig_points=np.asarray(dbg.orig_points),
-        orig_valid=np.asarray(dbg.orig_valid),
-        deskewed=np.asarray(dbg.deskewed),
-        deskewed_valid=np.asarray(dbg.deskewed_valid),
-        match_planes=np.asarray(dbg.match_planes),
-        match_keep=np.asarray(dbg.match_keep),
-        match_dist=np.asarray(dbg.match_dist),
-        pos=np.asarray(out.pos), quat=np.asarray(out.quat))
+        orig_points=pick(dbg.orig_points),
+        orig_valid=pick(dbg.orig_valid),
+        deskewed=pick(dbg.deskewed),
+        deskewed_valid=pick(dbg.deskewed_valid),
+        match_planes=pick(dbg.match_planes),
+        match_keep=pick(dbg.match_keep),
+        match_dist=pick(dbg.match_dist),
+        pos=pick(out.pos), quat=pick(out.quat))
     print(f"debug scan → {path}")
 
 

@@ -40,7 +40,9 @@ def get_lib():
     with _lock:
         if _lib is not None:
             return _lib or None
-        path = _SO if os.path.exists(_SO) else _build()
+        stale = (os.path.exists(_SO) and os.path.exists(_SRC)
+                 and os.path.getmtime(_SRC) > os.path.getmtime(_SO))
+        path = _SO if (os.path.exists(_SO) and not stale) else _build()
         if path is None or not os.path.exists(path):
             _lib = False
             return None
@@ -127,6 +129,26 @@ def preprocess(xyz, t_rel, n_out: int, *, crop_active=False,
     out_t[:n] = t_rel[idx]
     out_v[:n] = True
     return out_xyz, out_t, out_v, n
+
+
+def pack_scan_i16_numpy(pts, t_raw, n_cap: int, quant: float):
+    """NumPy twin of ``flh_pack_scan_i16`` — BIT-identical to the C path:
+    quantization products run in DOUBLE on both sides (IEEE f64 multiply +
+    rint/nearbyint under round-half-even is compiler-independent; f32
+    products can land on .5 ties that resolve differently), so replay
+    trajectories match between hosts with and without a g++ toolchain."""
+    n = min(len(pts), n_cap)
+    pts, t_raw = pts[:n], t_raw[:n]
+    out = np.zeros((n_cap, 4), np.int16)
+    tmax = float(np.max(np.abs(t_raw))) if n else 0.0
+    ts32 = np.float32(max(tmax, 1e-12) / 32767.0)
+    inv_q = 1.0 / float(quant)
+    inv_ts = 1.0 / float(ts32)
+    np.clip(np.rint(pts.astype(np.float64) * inv_q), -32767, 32767,
+            out=out[:n, :3], casting="unsafe")
+    np.clip(np.rint(t_raw.astype(np.float64) * inv_ts), -32767, 32767,
+            out=out[:n, 3], casting="unsafe")
+    return out, float(ts32), n
 
 
 def pack_scan_i16(pts, t_raw, n_cap: int, quant: float):

@@ -53,6 +53,7 @@ class AsyncIngest:
         self._stop = threading.Event()
         self._wake = threading.Event()
         self.imu_dropped = 0                   # ring-full events (overrun)
+        self.error: Optional[BaseException] = None  # engine failure in _run
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="fast_limo_tpu-dispatch")
         self._thread.start()
@@ -109,21 +110,38 @@ class AsyncIngest:
         while not self._stop.is_set():
             # IMU first each cycle: scans dispatch only once covered anyway,
             # and fresher IMU lets a queued scan go out this cycle
-            any_work = self._drain_imu()
-            any_work |= self._drain_scans()
+            try:
+                any_work = self._drain_imu()
+                any_work |= self._drain_scans()
+            except BaseException as e:   # record engine failure, stop draining
+                self.error = e
+                return
             if not any_work:
                 self._wake.wait(timeout=0.002)
                 self._wake.clear()
 
     def close(self) -> None:
-        """Drain outstanding records, stop the dispatch thread."""
+        """Drain outstanding records, stop the dispatch thread.
+
+        Raises the engine exception if the dispatch thread died on one
+        (otherwise a failed run would silently return a truncated
+        trajectory), and refuses the caller-thread final drain while the
+        dispatch thread is still alive — two concurrent consumers would
+        corrupt the single-consumer SPSC ring (ADVICE r2)."""
         while len(self) and self._thread.is_alive():
             self._wake.set()
             self._thread.join(timeout=0.01)
         self._stop.set()
         self._wake.set()
         self._thread.join(timeout=5.0)
-        # final drain on the caller's thread (thread exited mid-queue?)
+        if self._thread.is_alive():
+            raise RuntimeError(
+                "AsyncIngest dispatch thread did not stop within 5 s; "
+                f"{len(self)} records left undrained (engine wedged?)")
+        if self.error is not None:
+            raise RuntimeError("AsyncIngest dispatch thread failed") \
+                from self.error
+        # final drain on the caller's thread (thread exited mid-queue)
         self._drain_imu()
         self._drain_scans()
 

@@ -73,6 +73,7 @@ class Localizer:
         self._materialized: List[dict] = []               # lazily converted
         self._materialized_entries = 0                    # raw entries converted
         self.last_output = None                           # last ScanOutput (device)
+        self.last_output_scans = 0        # active scans in last_output (chunk)
         self._structure_checked = False
         self._scans_since_evict = 0
         self._evict_probe = None          # lagged device num_points scalar
@@ -242,12 +243,10 @@ class Localizer:
             if packed is not None:
                 scan_pack, t_scale, _n = packed
             else:
-                scan_pack = np.zeros((N, 4), np.int16)
-                np.clip(np.rint(pts * (1.0 / quant)), -32767, 32767,
-                        out=scan_pack[:npts, :3], casting="unsafe")
-                t_scale = max(float(np.max(np.abs(traw))), 1e-12) / 32767.0
-                np.clip(np.rint(traw * (1.0 / t_scale)), -32767, 32767,
-                        out=scan_pack[:npts, 3], casting="unsafe")
+                # bit-identical NumPy twin (cross-host deterministic replay)
+                scan_pack, t_scale, _n = native.pack_scan_i16_numpy(
+                    np.ascontiguousarray(pts, np.float32),
+                    np.ascontiguousarray(traw, np.float32), N, quant)
         else:
             scan_pack = np.zeros((N, 4), np.float32)
             scan_pack[:npts, :3] = pts
@@ -315,6 +314,7 @@ class Localizer:
             jax.block_until_ready(out)
         self.telemetry.scan_end(scan.stamp)
         self.last_output = out
+        self.last_output_scans = 1
         # defer device→host transfer: forcing out.* here would sync the
         # accelerator every scan (hundreds of ms over a tunneled TPU)
         self._raw_outputs.append((self.epoch, out))
@@ -349,6 +349,7 @@ class Localizer:
         for scan in scans:
             self.telemetry.scan_end(scan.stamp)
         self.last_output = out
+        self.last_output_scans = len(scans)
         # chunked entry: (tuple of epochs, stacked outputs)
         self._raw_outputs.append((tuple(epochs), out))
         self._bound_retention()
@@ -387,6 +388,9 @@ class Localizer:
         new_map = mapper.evict_far(self.state.map, pos, self.evict_radius,
                                    voxel_size=self.cfg.map_voxel_size)
         self.state = self.state._replace(map=new_map)
+        # the snapshot above predates the eviction — drop it so the next
+        # cadence check probes POST-eviction occupancy (ADVICE r2)
+        self._evict_probe = None
 
     def _init_device_state(self, first_stamp: float) -> None:
         cfg = self.cfg

@@ -213,6 +213,19 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
         glob = so3.quat_rotate(x.rot, pc) + x.pos
         n_abcd, keep = frozen if knn_refresh == "first" else _match(glob)
         dist = plane_op.point_to_plane(n_abcd, glob)
+        if query_axis is not None:
+            # pc was sliced to this device's query shard above, so the match
+            # leaves are shard-local — but DebugOutput is declared replicated
+            # in the sharded step's out_specs.  Reassemble the full query
+            # axis (shards were contiguous slices, so concatenation in
+            # shard order restores the original point order).
+            import jax
+
+            def unshard(a):
+                g = jax.lax.all_gather(a, query_axis)     # (D, Nq, ...)
+                return g.reshape((-1,) + g.shape[2:])
+
+            n_abcd, keep, dist = unshard(n_abcd), unshard(keep), unshard(dist)
         return n_abcd, keep, dist
 
     return h_rows, h_stats, h_debug

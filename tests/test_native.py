@@ -107,17 +107,13 @@ def test_pack_scan_i16_matches_numpy():
     assert n_packed == n
     want_ts = max(float(np.max(np.abs(traw))), 1e-12) / 32767.0
     np.testing.assert_allclose(t_scale, want_ts, rtol=1e-6)
-    want = np.zeros((cap, 4), np.int16)
-    np.clip(np.rint(pts * (1.0 / quant)), -32767, 32767,
-            out=want[:n, :3], casting="unsafe")
-    np.clip(np.rint(traw * (1.0 / t_scale)), -32767, 32767,
-            out=want[:n, 3], casting="unsafe")
-    # rounding-boundary lanes may differ by 1 LSB (the C pass quantizes with
-    # the f32 scale the DEVICE decodes with; the NumPy chain used a double
-    # scale) — 1 LSB = 4 mm xyz, ~3 µs time: far below sensor noise
-    diff = np.abs(out.astype(np.int32) - want.astype(np.int32))
-    assert diff.max() <= 1
-    assert (diff > 0).mean() < 0.005
+    # the NumPy fallback (pack_scan_i16_numpy, used by Localizer._pack_scan
+    # when no toolchain exists) must be BIT-identical to the C path so that
+    # replay trajectories match across hosts (ADVICE r2)
+    want, want_ts32, want_n = native.pack_scan_i16_numpy(pts, traw, cap, quant)
+    assert want_n == n
+    assert t_scale == want_ts32
+    np.testing.assert_array_equal(out, want)
 
 
 def test_pack_scan_i16_clips_and_pads():

@@ -79,6 +79,40 @@ class TestMesh2D:
         np.testing.assert_allclose(np.asarray(state_sh.P), np.asarray(state_1.P),
                                    atol=1e-3)
 
+    def test_2d_mesh_debug_leaves_full_query_axis(self):
+        """cfg.debug on a 2-D mesh: the match debug leaves must cover the
+        FULL query axis (ADVICE r2: before the all_gather fix they silently
+        contained only one 'data' shard's slice)."""
+        from fast_limo_tpu.parallel import sharded as sh
+
+        cfg_s = ge._tiny_cfg(n_pts=512, map_cap=1024, n_shards=2)
+        cfg_s.debug = True
+        mesh = sh.make_mesh_2d(2, 2)
+        step_sh, state_sh = sh.build_sharded_scan_step(cfg_s, mesh)
+
+        cfg_1 = ge._tiny_cfg(n_pts=512, map_cap=1024 * 2, n_shards=1)
+        cfg_1.debug = True
+        step_1 = pl.build_scan_step(cfg_1, donate=False)
+        state_1 = pl.init_state(cfg_1)
+
+        for i in range(2):
+            batch = ge._example_batch(cfg_s, seed=i)
+            state_sh, out_sh = step_sh(state_sh, batch)
+            state_1, out_1 = step_1(state_1, batch)
+
+        dbg_s, dbg_1 = out_sh.debug, out_1.debug
+        assert dbg_s.match_planes.shape == dbg_1.match_planes.shape
+        assert dbg_s.match_keep.shape == dbg_1.match_keep.shape
+        assert dbg_s.match_dist.shape == dbg_1.match_dist.shape
+        keep_s = np.asarray(dbg_s.match_keep)
+        keep_1 = np.asarray(dbg_1.match_keep)
+        # gates may flip on borderline FP ties; the populations must agree
+        assert np.mean(keep_s == keep_1) > 0.98
+        both = keep_s & keep_1
+        np.testing.assert_allclose(np.asarray(dbg_s.match_dist)[both],
+                                   np.asarray(dbg_1.match_dist)[both],
+                                   atol=1e-3)
+
 
 @needs_devices
 class TestShardedLifecycle:
