@@ -106,6 +106,19 @@ def comm_volume(cfg: Config, n_map: int, n_data: int = 1) -> dict:
     }
 
 
+def init_global_state(cfg: Config, n_map_shards: int) -> pl.LIOState:
+    """Initial LIOState with the map blown up to the GLOBAL (sharded)
+    capacity — ``cfg.tpu.map_capacity`` slots per 'map' shard.  Host-side
+    (unplaced); also serves as the restore template for sharded/distributed
+    checkpoints."""
+    from fast_limo_tpu.models import mapper
+
+    s = pl.init_state(cfg)
+    m = mapper.create(cfg.tpu.map_capacity * n_map_shards,
+                      cfg.map_points_per_voxel, jnp.dtype(cfg.tpu.dtype))
+    return s._replace(map=m)
+
+
 def build_sharded_scan_step(cfg: Config, mesh: Mesh) -> Tuple:
     """Returns (jitted sharded scan_step, initial sharded LIOState).
 
@@ -132,17 +145,7 @@ def build_sharded_scan_step(cfg: Config, mesh: Mesh) -> Tuple:
         donate_argnums=(0,),
     )
 
-    # initial state: per-device map shard shapes → global shapes via sharding
-    def init_global():
-        s = pl.init_state(cfg)
-        # blow the map up to the global (sharded) capacity
-        from fast_limo_tpu.models import mapper
-
-        m = mapper.create(cfg.tpu.map_capacity * n, cfg.map_points_per_voxel,
-                          jnp.dtype(cfg.tpu.dtype))
-        return s._replace(map=m)
-
-    state = init_global()
+    state = init_global_state(cfg, n)
     # place with the right shardings
     shardings = jax.tree_util.tree_map(
         lambda spec: NamedSharding(mesh, spec), _state_specs(cfg),

@@ -36,8 +36,12 @@ def save_state(path: str, state, extra: Optional[dict] = None) -> None:
                         **{k.replace("/", "__"): v for k, v in arrays.items()})
 
 
-def load_state(path: str, template):
-    """Restore into the structure of ``template`` (same pytree shape/dtypes)."""
+def load_host_arrays(path: str, template):
+    """Restore into the structure of ``template`` as HOST (numpy) arrays.
+
+    Used directly by the multi-process restore path
+    (parallel/distributed.load_checkpoint), where leaves must stay on host
+    until `device_put` scatters them onto the global mesh."""
     data = np.load(path, allow_pickle=False)
     arrays = {k.replace("__", "/"): data[k] for k in data.files if k != "__meta__"}
     flat, _ = _flatten_with_paths(template)          # insertion order == tree order
@@ -49,8 +53,13 @@ def load_state(path: str, template):
         got = arrays[key]
         if tuple(got.shape) != tuple(want.shape):
             raise ValueError(f"shape mismatch for {key}: {got.shape} vs {want.shape}")
-        rebuilt.append(jnp.asarray(got, want.dtype))
+        rebuilt.append(np.asarray(got, want.dtype))
     return jax.tree_util.tree_unflatten(tdef, rebuilt)
+
+
+def load_state(path: str, template):
+    """Restore into the structure of ``template`` (same pytree shape/dtypes)."""
+    return jax.tree_util.tree_map(jnp.asarray, load_host_arrays(path, template))
 
 
 def load_extra(path: str) -> dict:
