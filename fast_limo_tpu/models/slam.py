@@ -38,18 +38,29 @@ class LoopConfig:
     sc_dist_thresh: float = 0.22    # ScanContext acceptance
     icp_max_rmse: float = 0.8
     icp_min_inliers: int = 200
-    icp_points: int = 1024          # subsampled cloud kept per keyframe
+    icp_points: int = 1024          # subsampled ICP cloud kept per keyframe
+    rebuild_points: int = 8192      # per-keyframe cloud used for the post-
+                                    # loop map REBUILD — kept at near-insert
+                                    # density, decoupled from icp_points (a
+                                    # 1024-pt rebuild collapsed map density
+                                    # ~10× after the first loop closure)
+    capture_lag: int = 1            # scans the keyframe capture lags behind
+                                    # dispatch: reading scan i's outputs while
+                                    # scan i+lag is in flight is a pure
+                                    # transfer, never a device sync
     consistency_trans: float = 2.0  # m: |ICP edge − odometry-predicted edge|
     consistency_rot: float = 0.25   # rad
     retrieve_top_k: int = 10        # ring-key candidates checked with the full
                                     # SC distance (ScanContext paper uses ~10;
                                     # top-1 silently loses loops to occlusion)
     max_keyframes: int = 1024       # ENFORCED: past the cap, old unprotected
-                                    # keyframes are thinned 2:1 (loop-edge
-                                    # endpoints and the recent window survive)
+                                    # keyframes are spatially subsampled with
+                                    # a density floor (loop-edge endpoints,
+                                    # GPS anchors and the recent window
+                                    # always survive)
     max_edges: int = 4096           # graph edge capacity; oldest loop edges
                                     # are dropped when the budget is exceeded
-    rebuild_batch: int = 16         # keyframes per jitted insert during map
+    rebuild_batch: int = 8          # keyframes per jitted insert during map
                                     # rebuild (one dispatch per batch)
     optimize_iters: int = 8
     loop_weight: float = 5.0
@@ -67,8 +78,13 @@ class Keyframe:
     quat: np.ndarray
     desc: np.ndarray
     ring_key: np.ndarray
-    cloud: np.ndarray       # (P,3) body frame
+    cloud: np.ndarray           # (P,3) body frame, subsampled for ICP
     cloud_valid: np.ndarray
+    # (R,3) body frame at near-insert density, used ONLY for the post-loop
+    # map rebuild; None falls back to the ICP cloud (legacy sessions)
+    rebuild_cloud: Optional[np.ndarray] = None
+    rebuild_valid: Optional[np.ndarray] = None
+    scan_index: int = -1        # which scan this keyframe captured
 
 
 class SLAM:
@@ -106,9 +122,10 @@ class SLAM:
         self._after_dispatch()
 
     def flush(self):
-        """End-of-stream: dispatch any covered partial chunk (chunked replay)."""
+        """End-of-stream: dispatch any covered partial chunk (chunked replay)
+        and capture keyframes for the last ``capture_lag`` scans."""
         self.loc.flush()
-        self._after_dispatch()
+        self._after_dispatch(lag=0)
 
     def update_gps(self, stamp, pos, weight: Optional[float] = None):
         """Feed a GPS fix (world-frame position, seconds).  Attached as a
@@ -146,44 +163,87 @@ class SLAM:
         self._gps_buffer = keep
 
     # ------------------------------------------------------------- internals
-    def _after_dispatch(self):
-        while self._last_scan_count < len(self.loc.trajectory):
-            idx = self._last_scan_count
-            self._last_scan_count += 1
-            if self.enable_loop:
-                self._consider_keyframe(idx)
+    def _after_dispatch(self, lag: Optional[int] = None):
+        """Capture keyframes from the per-scan device outputs.
 
-    def _consider_keyframe(self, scan_idx: int):
-        t = self.loc.trajectory[scan_idx]
-        out = self.loc.last_output
-        if out is None:
+        Reads each scan's OWN ``ScanOutput`` (kept device-side in
+        ``Localizer._raw_outputs``), so a drain that dispatches ≥2 covered
+        scans at once can never pair one scan's pose with another's cloud.
+        Capture lags ``capture_lag`` scans behind dispatch: the read of
+        scan i while scan i+lag is in flight is a transfer of long-computed
+        results, never a sync on the step just dispatched (the hot-path
+        stall `_bound_retention`/`_maybe_evict` are built to avoid; the
+        reference's publish path likewise never blocks the filter,
+        src/main.cpp:27-63)."""
+        if not self.enable_loop:
             return
+        if lag is None:
+            lag = max(0, int(self.loop_cfg.capture_lag))
+        raw = self.loc._raw_outputs
+        upto = len(raw) - lag
+        if self._last_scan_count >= upto:
+            return
+        import jax
+
+        pend = range(self._last_scan_count, upto)
+        # ONE batched fetch of the tiny per-scan pose scalars
+        heads = jax.device_get(
+            [(raw[i][1].scan_stamp, raw[i][1].pos, raw[i][1].quat)
+             for i in pend if raw[i][1] is not None])
+        hi = 0
+        for i in pend:
+            epoch, out = raw[i]
+            self._last_scan_count = i + 1
+            if out is None:      # released by a trajectory materialization
+                continue
+            sstamp, pos, quat = heads[hi]
+            hi += 1
+            self._consider_keyframe(
+                i, float(epoch + float(sstamp)),
+                np.asarray(pos, np.float64), np.asarray(quat, np.float64),
+                out)
+
+    def _consider_keyframe(self, scan_idx: int, stamp: float,
+                           pos: np.ndarray, quat: np.ndarray, out):
         if self.keyframes:
             last = self.keyframes[-1]
-            dp = np.linalg.norm(t["pos"] - last.pos)
+            dp = np.linalg.norm(pos - last.pos)
             dq = so3.quat_mul(so3.quat_conj(jnp.asarray(last.quat)),
-                              jnp.asarray(t["quat"]))
+                              jnp.asarray(quat))
             dyaw = float(jnp.linalg.norm(so3.log_quat(dq)))
             if dp < self.loop_cfg.kf_dist and dyaw < self.loop_cfg.kf_angle:
                 return
 
-        body = np.asarray(out.scan_body)
-        valid = np.asarray(out.final_valid)
-        P = self.loop_cfg.icp_points
-        sel = np.nonzero(valid)[0]
-        if len(sel) > P:
-            sel = sel[np.linspace(0, len(sel) - 1, P).astype(int)]
-        cloud = np.zeros((P, 3), np.float32)
-        cvalid = np.zeros(P, bool)
-        cloud[: len(sel)] = body[sel]
-        cvalid[: len(sel)] = True
+        # accepted: fetch the scan's own cloud + descriptor (one device_get;
+        # keyframes are sparse, so the larger transfer is rare)
+        import jax
 
-        desc = np.asarray(out.descriptor)
+        body, valid, desc = jax.device_get(
+            (out.scan_body, out.final_valid, out.descriptor))
+        body = np.asarray(body)
+        sel = np.nonzero(np.asarray(valid))[0]
+
+        def subsample(cap):
+            s = sel
+            if len(s) > cap:
+                s = s[np.linspace(0, len(s) - 1, cap).astype(int)]
+            cloud = np.zeros((cap, 3), np.float32)
+            cvalid = np.zeros(cap, bool)
+            cloud[: len(s)] = body[s]
+            cvalid[: len(s)] = True
+            return cloud, cvalid
+
+        cloud, cvalid = subsample(self.loop_cfg.icp_points)
+        rcloud, rvalid = subsample(self.loop_cfg.rebuild_points)
+
+        desc = np.asarray(desc)
         kf = Keyframe(
-            index=len(self.keyframes), stamp=t["stamp"],
-            pos=t["pos"].copy(), quat=t["quat"].copy(),
+            index=len(self.keyframes), stamp=stamp,
+            pos=pos.copy(), quat=quat.copy(),
             desc=desc, ring_key=np.asarray(scancontext.ring_key(jnp.asarray(desc))),
-            cloud=cloud, cloud_valid=cvalid)
+            cloud=cloud, cloud_valid=cvalid,
+            rebuild_cloud=rcloud, rebuild_valid=rvalid,
+            scan_index=scan_idx)
         self.keyframes.append(kf)
         self._enforce_keyframe_cap()
         self._attach_gps()
@@ -193,24 +253,42 @@ class SLAM:
         """Bound the keyframe database (LoopConfig.max_keyframes).
 
         The dense GN solves 6K×6K, so K must stay bounded on UTBM-length
-        runs.  Past the cap, OLD keyframes are thinned 2:1 — keeping loop-
-        edge endpoints, GPS-anchored frames, and the recent exclude window
-        — which halves old-trajectory density instead of forgetting it."""
+        runs.  Past the cap, OLD keyframes are SPATIALLY subsampled: one
+        survivor per grid cell of side ``cell`` (starting at 2·kf_dist and
+        doubling only until the budget fits) — a uniform density floor over
+        everywhere the run has been.  The previous 2:1 parity thinning
+        decayed old segments geometrically (2^-k after k cap hits), which
+        could leave an hours-old start segment with no retrieval candidates
+        at all; a grid guarantees a revisit anywhere finds a keyframe
+        within ~cell·√3.  Loop-edge endpoints, GPS anchors, keyframe 0 and
+        the recent exclude window always survive."""
         lc = self.loop_cfg
         if len(self.keyframes) <= lc.max_keyframes:
             return
         protected = {i for e in self.loop_edges for i in e[:2]}
         protected |= {i for (i, _p, _w) in self.gps_factors}
         recent_from = len(self.keyframes) - lc.exclude_recent - 1
-        keep, drop_parity = [], 0
-        for k, kf in enumerate(self.keyframes):
-            if k == 0 or k >= recent_from or k in protected:
-                keep.append(k)
-            else:
-                drop_parity += 1
-                if drop_parity % 2 == 0:     # thin 2:1
-                    keep.append(k)
-        remap = {old: new for new, old in enumerate(keep)}
+        always = {k for k in range(len(self.keyframes))
+                  if k == 0 or k >= recent_from or k in protected}
+        old = [k for k in range(len(self.keyframes)) if k not in always]
+
+        cell = max(2.0 * lc.kf_dist, 1e-6)
+        budget = max(lc.max_keyframes - len(always), 0)
+        keep_old = old
+        while len(keep_old) > budget and cell < 1e7:
+            seen = set()
+            keep_old = []
+            for k in old:                     # earliest survivor per cell
+                key = tuple(np.floor(self.keyframes[k].pos / cell)
+                            .astype(np.int64))
+                if key not in seen:
+                    seen.add(key)
+                    keep_old.append(k)
+            if len(keep_old) <= budget:
+                break
+            cell *= 2.0
+        keep = sorted(always | set(keep_old))
+        remap = {old_i: new for new, old_i in enumerate(keep)}
         self.keyframes = [self.keyframes[k] for k in keep]
         for new, kf in enumerate(self.keyframes):
             kf.index = new
@@ -346,10 +424,15 @@ class SLAM:
         self._rebuild_map()
 
     def _rebuild_map(self):
-        """Re-insert keyframe clouds at optimized poses into a fresh map.
+        """Re-insert keyframe REBUILD clouds at optimized poses into a
+        fresh map.
 
+        Uses the near-insert-density ``rebuild_cloud`` (rebuild_points per
+        keyframe), NOT the 1024-pt ICP cloud — rebuilding from ICP clouds
+        decimated the matching map ~10× after the first loop closure, while
+        the reference's octree never loses density (Mapper.cpp:88-98).
         Batched: ``rebuild_batch`` keyframes are transformed and inserted
-        per jitted dispatch (500 keyframes → ~32 dispatches, not 500 — a
+        per jitted dispatch (500 keyframes → ~64 dispatches, not 500 — a
         per-keyframe host loop stalled for seconds inside the "real-time"
         pipeline).  The batch shape is fixed (tail zero-padded) so the
         program compiles once."""
@@ -358,7 +441,14 @@ class SLAM:
                           jnp.dtype(cfg.tpu.dtype))
         vox = cfg.map_voxel_size
         B = max(1, self.loop_cfg.rebuild_batch)
-        if self._rebuild_step is None or self._rebuild_step[0] != (B, vox):
+
+        def rcloud(kf):
+            if kf.rebuild_cloud is not None:
+                return kf.rebuild_cloud, kf.rebuild_valid
+            return kf.cloud, kf.cloud_valid
+
+        P = max((rcloud(kf)[0].shape[0] for kf in self.keyframes), default=0)
+        if self._rebuild_step is None or self._rebuild_step[0] != (B, vox, P):
             import jax
 
             @jax.jit
@@ -369,10 +459,9 @@ class SLAM:
                     m, world.reshape(-1, 3), valids.reshape(-1),
                     voxel_size=vox, probes=cfg.tpu.hash_probes)
 
-            self._rebuild_step = ((B, vox), step)
+            self._rebuild_step = ((B, vox, P), step)
         step = self._rebuild_step[1]
 
-        P = self.keyframes[0].cloud.shape[0] if self.keyframes else 0
         for i0 in range(0, len(self.keyframes), B):
             batch = self.keyframes[i0:i0 + B]
             clouds = np.zeros((B, P, 3), np.float32)
@@ -380,7 +469,8 @@ class SLAM:
             quats = np.tile(np.array([1.0, 0, 0, 0], np.float32), (B, 1))
             poss = np.zeros((B, 3), np.float32)
             for i, kf in enumerate(batch):
-                clouds[i], valids[i] = kf.cloud, kf.cloud_valid
+                c, v = rcloud(kf)
+                clouds[i, : len(c)], valids[i, : len(v)] = c, v
                 quats[i], poss[i] = kf.quat, kf.pos
             m = step(m, jnp.asarray(clouds), jnp.asarray(valids),
                      jnp.asarray(quats), jnp.asarray(poss))
@@ -394,6 +484,26 @@ class SLAM:
         a later run loads the session, relocalizes, and keeps mapping.
         """
         self.loc.save_checkpoint(prefix + ".state.npz")
+
+        def rebuild_stack(attr_cloud, attr_valid, fb_cloud, fb_valid, dim):
+            # rebuild clouds can be ragged across keyframes (a legacy-session
+            # load falls back to icp_points-sized clouds) — pad to the max
+            rows = [(getattr(k, attr_cloud) if getattr(k, attr_cloud) is not None
+                     else getattr(k, fb_cloud)) for k in self.keyframes]
+            vals = [(getattr(k, attr_valid) if getattr(k, attr_cloud) is not None
+                     else getattr(k, fb_valid)) for k in self.keyframes]
+            if not rows:
+                return (np.zeros((0, 1, 3)), np.zeros((0, 1), bool))
+            P = max(r.shape[0] for r in rows)
+            out_c = np.zeros((len(rows), P) + ((dim,) if dim else ()), np.float32)
+            out_v = np.zeros((len(rows), P), bool)
+            for i, (r, v) in enumerate(zip(rows, vals)):
+                out_c[i, : len(r)] = r
+                out_v[i, : len(v)] = v
+            return out_c, out_v
+
+        rb_cloud, rb_valid = rebuild_stack(
+            "rebuild_cloud", "rebuild_valid", "cloud", "cloud_valid", 3)
         np.savez_compressed(
             prefix + ".keyframes.npz",
             n=len(self.keyframes),
@@ -404,6 +514,9 @@ class SLAM:
             ring_key=np.stack([k.ring_key for k in self.keyframes]) if self.keyframes else np.zeros((0, 1)),
             cloud=np.stack([k.cloud for k in self.keyframes]) if self.keyframes else np.zeros((0, 1, 3)),
             cloud_valid=np.stack([k.cloud_valid for k in self.keyframes]) if self.keyframes else np.zeros((0, 1), bool),
+            rebuild_cloud=rb_cloud,
+            rebuild_valid=rb_valid,
+            scan_index=np.asarray([k.scan_index for k in self.keyframes], np.int64),
             loop_edges_i=np.asarray([e[0] for e in self.loop_edges], np.int32),
             loop_edges_j=np.asarray([e[1] for e in self.loop_edges], np.int32),
             loop_edges_q=np.stack([e[2] for e in self.loop_edges]) if self.loop_edges else np.zeros((0, 4)),
@@ -414,12 +527,19 @@ class SLAM:
         self.loc.load_checkpoint(prefix + ".state.npz", reset_clock=reset_clock)
         d = np.load(prefix + ".keyframes.npz")
         self.keyframes = []
+        has_rebuild = "rebuild_cloud" in d.files   # pre-r3 sessions lack it
         for k in range(int(d["n"])):
             self.keyframes.append(Keyframe(
                 index=k, stamp=float(d["stamps"][k]),
                 pos=d["pos"][k], quat=d["quat"][k], desc=d["desc"][k],
                 ring_key=d["ring_key"][k], cloud=d["cloud"][k],
-                cloud_valid=d["cloud_valid"][k]))
+                cloud_valid=d["cloud_valid"][k],
+                rebuild_cloud=(d["rebuild_cloud"][k] if has_rebuild
+                               else d["cloud"][k]),
+                rebuild_valid=(d["rebuild_valid"][k] if has_rebuild
+                               else d["cloud_valid"][k]),
+                scan_index=(int(d["scan_index"][k])
+                            if "scan_index" in d.files else -1)))
         self.loop_edges = [
             (int(d["loop_edges_i"][k]), int(d["loop_edges_j"][k]),
              d["loop_edges_q"][k], d["loop_edges_t"][k])
@@ -439,10 +559,13 @@ class SLAM:
     # ------------------------------------------------------------- queries
     @property
     def trajectory(self):
+        # materializing the trajectory releases the device-side raw outputs,
+        # so capture any lagged keyframes first
+        self._after_dispatch(lag=0)
         return self.loc.trajectory
 
     def positions(self):
-        return self.loc.positions()
+        return np.array([t["pos"] for t in self.trajectory])
 
     def stamps(self):
-        return self.loc.stamps()
+        return np.array([t["stamp"] for t in self.trajectory])

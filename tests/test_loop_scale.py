@@ -49,6 +49,24 @@ class TestKeyframeCap:
         assert stamps == sorted(stamps)
         assert stamps[-1] == 79 * 0.5
 
+    def test_thinning_keeps_spatial_density_floor(self, rng):
+        """After 4× cap overflow along a long path, a revisit ANYWHERE on
+        it must still find a retrieval candidate inside search_radius —
+        the round-2 parity thinning decayed old segments geometrically
+        (2^-k) with no floor (weak #7)."""
+        s = mk_slam(max_keyframes=64, exclude_recent=5, kf_dist=1.0,
+                    search_radius=10.0)
+        n = 256   # 4× the cap, 1 m apart
+        for k in range(n):
+            s.keyframes.append(mk_kf(rng, len(s.keyframes), [k * 1.0, 0, 0]))
+            s._enforce_keyframe_cap()
+        assert len(s.keyframes) <= 64
+        pos = np.stack([kf.pos for kf in s.keyframes])
+        for x in range(0, n, 4):   # revisit every 4 m of the old path
+            d = np.linalg.norm(pos - np.array([x, 0, 0]), axis=1)
+            assert d.min() < s.loop_cfg.search_radius, (
+                f"no keyframe within search_radius of x={x}")
+
     def test_loop_edge_endpoints_protected_and_remapped(self, rng):
         s = mk_slam(max_keyframes=40, exclude_recent=5)
         for k in range(40):
