@@ -63,6 +63,18 @@ def _dump_debug(args, slam):
     print(f"debug scan → {path}")
 
 
+def _feeder(args, slam):
+    """The engine to feed events into: the SLAM itself, or — with --async —
+    an AsyncIngest facade over it (lock-free ring + dispatch thread, the
+    reference's AsyncSpinner runtime)."""
+    if not args.async_mode:
+        return slam, None
+    from fast_limo_tpu.io.stream import AsyncIngest
+
+    ing = AsyncIngest(slam)
+    return ing, ing
+
+
 def cmd_synthetic(args):
     import numpy as np
 
@@ -76,6 +88,7 @@ def cmd_synthetic(args):
         cfg.intrinsics.gyro_bias = [0.0] * 3
 
     cfg, slam = _build(args, tweak)
+    feed, ing = _feeder(args, slam)
 
     seq = synthetic.SyntheticSequence(
         seed=args.seed, n_scans=args.scans,
@@ -84,12 +97,14 @@ def cmd_synthetic(args):
     scans = [seq.scan(i) for i in range(args.scans)]
     si = 0
     for k in range(len(stamps)):
-        slam.update_imu(stamps[k], acc[k], gyro[k])
+        feed.update_imu(stamps[k], acc[k], gyro[k])
         while si < args.scans and scans[si][0] <= stamps[k]:
             st, pts, traw = scans[si]
-            slam.update_pointcloud(pts, traw, st)
+            feed.update_pointcloud(pts, traw, st)
             si += 1
-    slam.flush()
+    feed.flush()
+    if ing is not None:
+        ing.close()
 
     est = slam.positions()
     gt = seq.traj.pos(slam.stamps())
@@ -116,8 +131,11 @@ def cmd_sequence(args):
     from fast_limo_tpu.utils import evaluation
 
     cfg, slam = _build(args)
+    feed, ing = _feeder(args, slam)
     seq = generic.GenericSequence(args.data)
-    generic.run_sequence(slam, seq, n_scans=args.scans)
+    generic.run_sequence(feed, seq, n_scans=args.scans)
+    if ing is not None:
+        ing.close()
     print(slam.loc.board())
     traj = slam.trajectory
     out = {"scans": len(traj)}
@@ -194,6 +212,13 @@ def main(argv=None):
                              "DebugOutput (original/deskewed clouds, match "
                              "planes/distances) to this .npz — the "
                              "reference's debug publishers, main.cpp:198-203")
+    common.add_argument("--async", dest="async_mode", action="store_true",
+                        default=argparse.SUPPRESS,
+                        help="feed sensors through the AsyncIngest layer "
+                             "(lock-free IMU ring + dispatch thread) — the "
+                             "reference's AsyncSpinner callback runtime, "
+                             "src/main.cpp:209-212; replay equals sync "
+                             "bit-exactly")
 
     p = argparse.ArgumentParser(prog="fast_limo_tpu", parents=[common])
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -235,7 +260,7 @@ def main(argv=None):
     for dest, dflt in (("config", None), ("out", None),
                        ("save_session", None), ("no_loop", False),
                        ("chunk", 0), ("platform", None),
-                       ("debug_dump", None)):
+                       ("debug_dump", None), ("async_mode", False)):
         if not hasattr(args, dest):
             setattr(args, dest, dflt)
     if args.platform:

@@ -50,6 +50,10 @@ class AsyncIngest:
         except RuntimeError:
             pass                               # no toolchain: deque fallback
         self._scans: queue.Queue = queue.Queue()
+        self._gps: queue.Queue = queue.Queue()
+        # serializes engine access: dispatch-thread updates vs caller-thread
+        # queries (the reference's mtx_ikfom, Modules/Localizer.hpp:41)
+        self._engine_lock = threading.RLock()
         self._stop = threading.Event()
         self._wake = threading.Event()
         self.imu_dropped = 0                   # ring-full events (overrun)
@@ -76,6 +80,44 @@ class AsyncIngest:
         self._scans.put((np.asarray(points), np.asarray(t_raw), float(stamp)))
         self._wake.set()
 
+    def push_gps(self, stamp: float, pos, weight=None) -> None:
+        """GPS callback: queued; dispatched to ``engine.update_gps`` when the
+        engine has one (SLAM), silently dropped otherwise (odometry) — the
+        same contract as io/generic.run_sequence."""
+        self._gps.put((float(stamp), np.asarray(pos, float), weight))
+        self._wake.set()
+
+    # engine-facade aliases: an AsyncIngest can stand in anywhere a
+    # Localizer/SLAM is fed (e.g. generic.run_sequence(AsyncIngest(slam), …))
+    update_imu = push_imu
+    update_pointcloud = push_scan
+    update_gps = push_gps
+
+    def get_world_state(self) -> dict:
+        """IMU-rate odometry query from ANY thread, serialized against the
+        dispatch thread's engine updates (getWorldState at IMU rate — the
+        reference publishes it per tick under mtx_ikfom, main.cpp:78-94)."""
+        with self._engine_lock:
+            return self.engine.get_world_state()
+
+    def get_body_state(self) -> dict:
+        with self._engine_lock:
+            return self.engine.get_body_state()
+
+    def flush(self) -> None:
+        """Block until every queued record has been dispatched, then flush
+        the engine (end-of-stream partial chunks).  The dispatch thread
+        stays alive — unlike close()."""
+        while len(self) and self._thread.is_alive():
+            self._wake.set()
+            self._thread.join(timeout=0.01)
+        if self.error is not None:
+            raise RuntimeError("AsyncIngest dispatch thread failed") \
+                from self.error
+        flush = getattr(self.engine, "flush", None)
+        if flush is not None:
+            flush()
+
     # -------------------------------------------------------------- consumer
     def _drain_imu(self) -> bool:
         got = False
@@ -85,13 +127,15 @@ class AsyncIngest:
                 if rec is None:
                     break
                 v = struct.unpack(_IMU_FMT, rec)
-                self.engine.update_imu(v[0], np.asarray(v[1:4]),
-                                       np.asarray(v[4:7]))
+                with self._engine_lock:
+                    self.engine.update_imu(v[0], np.asarray(v[1:4]),
+                                           np.asarray(v[4:7]))
                 got = True
         else:
             while self._imu_fallback:
                 s, a, g = self._imu_fallback.popleft()
-                self.engine.update_imu(s, a, g)
+                with self._engine_lock:
+                    self.engine.update_imu(s, a, g)
                 got = True
         return got
 
@@ -102,8 +146,23 @@ class AsyncIngest:
                 pts, traw, stamp = self._scans.get_nowait()
             except queue.Empty:
                 break
-            self.engine.update_pointcloud(pts, traw, stamp)
+            with self._engine_lock:
+                self.engine.update_pointcloud(pts, traw, stamp)
             got = True
+        return got
+
+    def _drain_gps(self) -> bool:
+        got = False
+        gps_fn = getattr(self.engine, "update_gps", None)
+        while True:
+            try:
+                stamp, pos, w = self._gps.get_nowait()
+            except queue.Empty:
+                break
+            got = True
+            if gps_fn is not None:
+                with self._engine_lock:
+                    gps_fn(stamp, pos, weight=w)
         return got
 
     def _run(self) -> None:
@@ -112,6 +171,7 @@ class AsyncIngest:
             # and fresher IMU lets a queued scan go out this cycle
             try:
                 any_work = self._drain_imu()
+                any_work |= self._drain_gps()
                 any_work |= self._drain_scans()
             except BaseException as e:   # record engine failure, stop draining
                 self.error = e
@@ -143,10 +203,11 @@ class AsyncIngest:
                 from self.error
         # final drain on the caller's thread (thread exited mid-queue)
         self._drain_imu()
+        self._drain_gps()
         self._drain_scans()
 
     def __len__(self) -> int:
-        n = len(self._scans.queue)
+        n = len(self._scans.queue) + len(self._gps.queue)
         n += len(self._imu_ring) if self._imu_ring is not None \
             else len(self._imu_fallback)
         return n

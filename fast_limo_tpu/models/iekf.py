@@ -209,8 +209,20 @@ def _degeneracy_guard(HTH, dx_, D):
     block is ≥ D (the overwhelmingly common, well-conditioned case — HᵀH
     diagonals are in the thousands vs D=5), the guard is the identity and
     the expensive ``eigh`` (≈0.8 ms on v5e) is skipped via ``lax.cond``.
-    The eigh branch runs only on genuinely near-degenerate geometry, where
-    it reproduces the reference exactly.
+
+    DELIBERATE DIVERGENCE from the reference's literal code: the reference
+    zeroes ROWS of the eigenvector matrix and applies ``V⁻¹·(sel·dx)``
+    (esekfom.hpp:1736-1744) — but that expression depends on the
+    eigensolver's arbitrary column SIGNS and (for repeated eigenvalues)
+    basis choice, i.e. it is not a well-defined function of the problem
+    (verified numerically: flipping one eigh column sign changes the
+    result).  The evident intent — zero the update's components ALONG
+    eigendirections with eigenvalue < D — is the spectral projector
+    ``V·diag(m)·Vᵀ``, which is sign- and basis-invariant; both this path,
+    the in-kernel guard (ops/update_body.jacobi_guard_head), and the f64
+    test oracle implement it.  The reference's near-singular fallback
+    (prod(w) < 1e-20 → V = I: zero components by ascending-eigenvalue
+    index) is kept as-is.
     """
     dtype = dx_.dtype
     H6 = HTH[0:6, 0:6]
@@ -222,11 +234,10 @@ def _degeneracy_guard(HTH, dx_, D):
         w, V = jnp.linalg.eigh(H6)               # ascending eigenvalues, V columns
         Vr = jnp.real(V).astype(dtype)
         wr = jnp.real(w).astype(dtype)
-        # reference: if prod(eigvals) < 1e-20, use identity eigenvector matrix
+        m = (wr >= D).astype(dtype)
+        proj = (Vr * m[None, :]) @ Vr.T @ dx6    # V·diag(m)·Vᵀ·dx
         use_I = jnp.prod(wr) < 1e-20
-        Vr = jnp.where(use_I, jnp.eye(6, dtype=dtype), Vr)
-        sel = jnp.where((wr < D)[:, None], jnp.zeros_like(Vr), Vr)  # zero ROWS (ref quirk)
-        return jnp.linalg.solve(Vr, sel @ dx6)
+        return jnp.where(use_I, m * dx6, proj)
 
     head = jax.lax.cond(gersh_min >= D, lambda dx6: dx6, exact, dx_[0:6])
     return dx_.at[0:6].set(head)
@@ -340,6 +351,15 @@ def update_iterated(
 
     use_kernel = dispatch.kernel_enabled("update_body") and dtype == jnp.float32
 
+    # Whole-loop fast path: with frozen correspondences the ENTIRE masked
+    # iteration loop (incl. per-iteration h-stats) is one Pallas launch
+    # (ops/update_loop.py); its ok-certificate (Gershgorin ≥ D every active
+    # iteration + atan-series regime) gates an exact-semantics fallback to
+    # the per-iteration loop below.
+    loop_pack = getattr(h_model, "loop_pack", None)
+    use_loop_kernel = (use_kernel and loop_pack is not None
+                       and dispatch.kernel_enabled("update_loop"))
+
     def cond(carry):
         return ~carry["done"]
 
@@ -387,30 +407,42 @@ def update_iterated(
     }
     if unroll is None:
         unroll = max_iters <= 8
-    if unroll:
-        # Unrolled masked iterations: the same math as the while_loop
-        # (tests/test_iekf.py: equal iteration counts, states to f64
-        # reassociation noise), but XLA schedules the whole chain as
-        # straight-line code — no per-iteration loop bookkeeping /
-        # kernel-launch barriers.  With MAX_NUM_ITERS=3 and the
-        # two-converged-iterations stop rule the loop almost always runs
-        # to max anyway, so the masked extra work is ~zero.
-        # the reference loop index runs i = -1 … max_iters-1 (done fires on
-        # incoming i == max_iters-1), i.e. max_iters+1 body evaluations
-        carry = carry0
-        for _ in range(max_iters + 1):
-            new = body(carry)
-            was_done = carry["done"]
-            keep = lambda old, nxt: jax.tree_util.tree_map(
-                lambda a, b: jnp.where(was_done, a, b), old, nxt)
-            carry = {
-                "x": keep(carry["x"], new["x"]),
-                "P": jnp.where(was_done, carry["P"], new["P"]),
-                "t": jnp.where(was_done, carry["t"], new["t"]),
-                "i": jnp.where(was_done, carry["i"], new["i"]),
-                "done": was_done | new["done"],
-            }
-        out = carry
-    else:
-        out = jax.lax.while_loop(cond, body, carry0)
-    return out["x"], out["P"], out["i"] + 1
+
+    def run_loop():
+        if unroll:
+            # Unrolled masked iterations: the same math as the while_loop
+            # (tests/test_iekf.py: equal iteration counts, states to f64
+            # reassociation noise), but XLA schedules the whole chain as
+            # straight-line code — no per-iteration loop bookkeeping /
+            # kernel-launch barriers.  With MAX_NUM_ITERS=3 and the
+            # two-converged-iterations stop rule the loop almost always runs
+            # to max anyway, so the masked extra work is ~zero.
+            # the reference loop index runs i = -1 … max_iters-1 (done fires
+            # on incoming i == max_iters-1), i.e. max_iters+1 evaluations
+            carry = carry0
+            for _ in range(max_iters + 1):
+                new = body(carry)
+                was_done = carry["done"]
+                keep = lambda old, nxt: jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(was_done, a, b), old, nxt)
+                carry = {
+                    "x": keep(carry["x"], new["x"]),
+                    "P": jnp.where(was_done, carry["P"], new["P"]),
+                    "t": jnp.where(was_done, carry["t"], new["t"]),
+                    "i": jnp.where(was_done, carry["i"], new["i"]),
+                    "done": was_done | new["done"],
+                }
+            out = carry
+        else:
+            out = jax.lax.while_loop(cond, body, carry0)
+        return out["x"], out["P"], out["i"] + 1
+
+    if not use_loop_kernel:
+        return run_loop()
+
+    from fast_limo_tpu.ops import update_loop
+
+    xk, Pk, nit_k, ok = update_loop.update_loop_tpu(
+        loop_pack, P_prop, x_prop, R, D, limit, max_iters=max_iters,
+        estimate_extrinsics=h_model.loop_extrinsics)
+    return jax.lax.cond(ok, lambda: (xk, Pk, nit_k), run_loop)

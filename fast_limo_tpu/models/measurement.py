@@ -206,6 +206,14 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
             HTh = jax.lax.psum(HTh, query_axis)
         return HTH, HTh
 
+    if use_kernel and knn_refresh == "first" and query_axis is None:
+        # expose the frozen channel pack so iekf.update_iterated can run
+        # the WHOLE masked iteration loop as one launch (ops/update_loop.py)
+        # — with query sharding the HᵀH psum must stay outside the kernel,
+        # so the per-iteration path is kept there
+        h_stats.loop_pack = frozen_X
+        h_stats.loop_extrinsics = estimate_extrinsics
+
     if not with_debug:
         return h_rows, h_stats
 

@@ -66,18 +66,14 @@ def hstats_reference(pc, n_abcd, keep, x: st.NavState, estimate_extrinsics):
     return H.T @ H, H.T @ h
 
 
-def _kernel(X_ref, sc_ref, HTH_ref, HTh_ref,
-            *, estimate_extrinsics: bool, Nr: int):
-    f32 = jnp.float32
-    # 8 stacked (Nr,128) channels: px py pz nx ny nz nd keep.  Full-tile 2-D
-    # layout — a 1-D (N,) vector occupies one sublane of each vreg (⅛ VPU
-    # utilization; measured ~6× slower end-to-end).
-    ch = lambda i: X_ref[i * Nr:(i + 1) * Nr, :]
-    px, py, pz = ch(0), ch(1), ch(2)
-    nx, ny, nz, nd = ch(3), ch(4), ch(5), ch(6)
-    keep = ch(7)
+def stats_math(chans, s, *, estimate_extrinsics: bool):
+    """The full per-iteration statistics chain on register values.
 
-    s = [sc_ref[0, i] for i in range(14)]
+    ``chans`` = 8 (Nr,128) channel tiles [px py pz nx ny nz nd keep];
+    ``s`` = 14 state scalars [rot(wxyz), pos, rot_LI(wxyz), t_LI].
+    Returns ``(HᵀH (M,M), Hᵀh (M,))``.  Shared by the single-call kernel
+    below and the whole-loop update kernel (ops/update_loop.py)."""
+    px, py, pz, nx, ny, nz, nd, keep = chans
     qw, qx, qy, qz = s[0], s[1], s[2], s[3]
     tx, ty, tz = s[4], s[5], s[6]
     ew, ex, ey, ez = s[7], s[8], s[9], s[10]
@@ -140,10 +136,23 @@ def _kernel(X_ref, sc_ref, HTH_ref, HTh_ref,
     rI = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
     cI = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
     diag = jnp.where(rI == cI, upper, 0.0)
-    HTH_ref[:, :] = upper + upper.T - diag
-    HTh_ref[0, :] = jnp.stack([
+    HTH = upper + upper.T - diag
+    HTh = jnp.stack([
         jnp.sum(cols[j] * hneg) if cols[j] is not None else zero
         for j in range(M)])
+    return HTH, HTh
+
+
+def _kernel(X_ref, sc_ref, HTH_ref, HTh_ref,
+            *, estimate_extrinsics: bool, Nr: int):
+    # 8 stacked (Nr,128) channels: px py pz nx ny nz nd keep.  Full-tile 2-D
+    # layout — a 1-D (N,) vector occupies one sublane of each vreg (⅛ VPU
+    # utilization; measured ~6× slower end-to-end).
+    chans = tuple(X_ref[i * Nr:(i + 1) * Nr, :] for i in range(8))
+    s = [sc_ref[0, i] for i in range(14)]
+    HTH, HTh = stats_math(chans, s, estimate_extrinsics=estimate_extrinsics)
+    HTH_ref[:, :] = HTH
+    HTh_ref[0, :] = HTh
 
 
 def pack_inputs(pc, n_abcd, keep):

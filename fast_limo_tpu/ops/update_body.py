@@ -229,19 +229,111 @@ def _block_J(A_rot, A_ext, res2):
             + _dot(S_g.T, _dot(res2 - I2, S_g)))
 
 
+def _jacobi_eigh6(A, sweeps: int = 5):
+    """Symmetric 6×6 eigendecomposition by cyclic Jacobi — kernel-safe.
+
+    Jacobi rotations are pure algebra (t from the quadratic, c = rsqrt),
+    no atan — so the reference's eigh degeneracy guard
+    (esekfom.hpp:1736-1744) can run INSIDE a Mosaic kernel.  ``sweeps``
+    cyclic sweeps (15 rotations each) give far-below-f32 off-diagonal
+    residue for 6×6 (quadratic convergence).  Returns ``(w (6,), V (6,6))``
+    with A = V·diag(w)·Vᵀ, V orthogonal (columns are eigenvectors),
+    eigenvalues unordered."""
+    f32 = jnp.float32
+    r6 = jax.lax.broadcasted_iota(jnp.int32, (6, 6), 0)
+    c6 = jax.lax.broadcasted_iota(jnp.int32, (6, 6), 1)
+    eye6 = (r6 == c6).astype(f32)
+    iv = jax.lax.broadcasted_iota(jnp.int32, (6, 1), 0)[:, 0]    # (6,)
+    V = eye6
+    for _ in range(sweeps):
+        for p in range(5):
+            for q in range(p + 1, 6):
+                row_p = jnp.sum(jnp.where(r6 == p, A, 0.0), axis=0)   # (6,)
+                row_q = jnp.sum(jnp.where(r6 == q, A, 0.0), axis=0)
+                app, aqq, apq = row_p[p], row_q[q], row_p[q]
+                small = jnp.abs(apq) <= 1e-30
+                safe_apq = jnp.where(small, 1.0, apq)
+                tau = (aqq - app) / (2.0 * safe_apq)
+                sgn = jnp.where(tau < 0, -1.0, 1.0)
+                t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+                t = jnp.where(small, 0.0, t)
+                cth = jax.lax.rsqrt(1.0 + t * t)
+                sth = t * cth
+                ep = (iv == p).astype(f32)
+                eq = (iv == q).astype(f32)
+                G = (eye6
+                     + (cth - 1.0) * (ep[:, None] * ep[None, :]
+                                      + eq[:, None] * eq[None, :])
+                     + sth * (ep[:, None] * eq[None, :])
+                     - sth * (eq[:, None] * ep[None, :]))
+                A = _dot(G.T, _dot(A, G))
+                V = _dot(V, G)
+    w = jnp.sum(jnp.where(r6 == c6, A, 0.0), axis=1)
+    return w, V
+
+
+def _sort_eig6(w, V):
+    """Sort eigen-pairs ascending by eigenvalue (bubble network, 15 exact
+    compare-exchanges).  The reference guard's row-zeroing quirk makes the
+    result depend on eigenvalue ORDER, and eigh/Eigen sort ascending — so
+    the kernel must too."""
+    f32 = jnp.float32
+    r6 = jax.lax.broadcasted_iota(jnp.int32, (6, 6), 0)
+    c6 = jax.lax.broadcasted_iota(jnp.int32, (6, 6), 1)
+    iv = jax.lax.broadcasted_iota(jnp.int32, (6, 1), 0)[:, 0]
+    for rnd in range(5):
+        for j in range(5 - rnd):
+            wj, wj1 = w[j], w[j + 1]
+            swap = wj > wj1
+            lo = jnp.where(swap, wj1, wj)
+            hi = jnp.where(swap, wj, wj1)
+            w = jnp.where(iv == j, lo, jnp.where(iv == j + 1, hi, w))
+            colj = jnp.sum(jnp.where(c6 == j, V, 0.0), axis=1)
+            colj1 = jnp.sum(jnp.where(c6 == j + 1, V, 0.0), axis=1)
+            newj = jnp.where(swap, colj1, colj)
+            newj1 = jnp.where(swap, colj, colj1)
+            V = jnp.where(c6 == j, newj[:, None],
+                          jnp.where(c6 == j + 1, newj1[:, None], V))
+    return w, V
+
+
+def jacobi_guard_head(H6, dx6, D):
+    """The degeneracy guard (esekfom.hpp:1736-1744 intent) on the 6-dim
+    pose head, in-kernel: the spectral projector ``V·diag(m)·Vᵀ·dx6``
+    (m = eigenvalue ≥ D mask) — sign/basis-invariant, identical to
+    models/iekf._degeneracy_guard's eigh branch (see its docstring for the
+    documented divergence from the reference's sign-dependent row quirk).
+    The near-singular ``prod(w) < 1e-20`` branch zeroes components by
+    ascending-eigenvalue index, hence the sort."""
+    w, V = _sort_eig6(*_jacobi_eigh6(H6))
+    m = (w >= D).astype(jnp.float32)
+    # column-vector matmuls (a (6,6)@(6,) matvec mixing scalar-built and
+    # lane-sliced operands hits the Mosaic relayout bug — see _bx_dot)
+    g = _dot(V * m[None, :], _dot(V.T, dx6[:, None]))[:, 0]
+    use_I = jnp.prod(w) < 1e-20
+    g = jnp.where(use_I, m * dx6, g)
+    # all-pass must be bit-clean (the projector equals I only up to FP noise)
+    return jnp.where(jnp.min(w) >= D, dx6, g)
+
+
 # ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _iter_core(HTH, HTh, P, dx, state_scalars, gp, inv_R):
+def _iter_core(HTH, HTh, P, dx, state_scalars, gp, inv_R, guard_D=None):
     """One full update-iteration's algebra as pure register math.
 
     ``state_scalars`` = (pos, rot, rot_LI, t_LI, vel, bg, ba, grav) as
     scalar-built stacks; ``P`` is P_prop; ``dx`` = x ⊟ x_prop (NS,).
-    Returns ``(xn (XF,), Pf (NS,NS), dx_ (NS,), gersh_min ())`` under the
-    fast-path (identity degeneracy guard) assumption.  Shared by the
-    single-iteration kernel below and the whole-loop kernel
-    (ops/update_loop.py)."""
+    Returns ``(xn (XF,), Pf (NS,NS), dx_ (NS,), gersh_min ())``.
+
+    ``guard_D=None`` (single-iteration kernel): the fast-path identity-
+    degeneracy-guard assumption — the caller must check ``gersh_min`` and
+    fall back when it cannot certify.  With ``guard_D`` set (whole-loop
+    kernel): the EXACT reference guard runs in-kernel via the Jacobi eigh
+    (`jacobi_guard_head`); the boxplus uses the guarded head while the
+    convergence vector dx_ and the J₂ chart arguments stay pre-guard
+    (esekfom.hpp:1749-1756 tests convergence on the unguarded update)."""
     f32 = jnp.float32
     pos, rot, rot_LI, t_LI, vel, bg, ba, grav = state_scalars
 
@@ -267,19 +359,28 @@ def _iter_core(HTH, HTh, P, dx, state_scalars, gp, inv_R):
     radii = jnp.sum(jnp.abs(H6), axis=1) - jnp.abs(diag6)
     gersh = jnp.min(diag6 - radii)
 
-    # ---- boxplus (fast path: guard == identity) ----
+    # ---- boxplus ----
     # dx_ leaves the vector domain here: lane-sliced (3,) segments added to
     # scalar-built stacks hit the same Mosaic relayout bug as _bx_dot, so
     # extract once into scalars.
     d = [dx_[i] for i in range(NS)]
     dr = jnp.stack(d[3:6])        # rot delta (scalar-built)
+    if guard_D is None:
+        # fast path: assume guard == identity (caller certifies via gersh)
+        dh = d[0:6]
+        dr_plus = dr
+    else:
+        # exact in-kernel reference guard on the 6-dim pose head
+        head = jacobi_guard_head(HTH[0:6, 0:6], jnp.stack(d[0:6]), guard_D)
+        dh = [head[i] for i in range(6)]
+        dr_plus = jnp.stack(dh[3:6])
     de = jnp.stack(d[6:9])        # extrinsic-rot delta
     dg = jnp.stack(d[21:23])      # grav delta
-    rot_n = _quat_mul(rot, _exp_quat(dr))
+    rot_n = _quat_mul(rot, _exp_quat(dr_plus))
     rot_LI_n = _quat_mul(rot_LI, _exp_quat(de))
     grav_n = _s2_boxplus(grav, dg)
     xn = jnp.stack([
-        pos[0] + d[0], pos[1] + d[1], pos[2] + d[2],
+        pos[0] + dh[0], pos[1] + dh[1], pos[2] + dh[2],
         rot_n[0], rot_n[1], rot_n[2], rot_n[3],
         rot_LI_n[0], rot_LI_n[1], rot_LI_n[2], rot_LI_n[3],
         t_LI[0] + d[9], t_LI[1] + d[10], t_LI[2] + d[11],

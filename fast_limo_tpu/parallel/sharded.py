@@ -85,25 +85,78 @@ def comm_volume(cfg: Config, n_map: int, n_data: int = 1) -> dict:
     scaling efficiency on real multi-chip hardware is predictable without
     the hardware: the only large collective is the kNN top-k ``all_gather``
     over the 'map' axis; the 'data' axis moves just 12×12 sufficient
-    statistics.  (Ring all_gather: each device receives D−1 remote shards.)
+    statistics.  Ring accounting: all_gather receives (D−1)/D of the global
+    payload; all_reduce moves 2(D−1)/D of it.
+
+    The model is ASSERTED against the compiled HLO's actual collectives in
+    tests/test_sharded.py (``hlo_comm_volume``), so a layout change that
+    alters the traffic breaks a test instead of silently invalidating the
+    scaling story.
     """
     k = cfg.ikfom.mapping.NUM_MATCH_POINTS
     n_q = cfg.ikfom.mapping.MAX_NUM_PC2MATCH // max(n_data, 1)
     itemsize = jnp.dtype(cfg.tpu.dtype).itemsize
-    resolves = 1 if cfg.tpu.knn_refresh == "first" else cfg.ikfom.MAX_NUM_ITERS
+    # the unrolled masked update executes MAX_NUM_ITERS+1 body evaluations
+    # (reference loop i = −1 … max−1, esekfom.hpp:1637), each re-matching
+    # under knn_refresh="always" — confirmed by counting the compiled
+    # HLO's all-gathers
+    evals = cfg.ikfom.MAX_NUM_ITERS + 1
+    resolves = 1 if cfg.tpu.knn_refresh == "first" else evals
     # per resolve, per device: nbrs (N_q,k,3) + sq (N_q,k) from D_m−1 peers
     knn_gather = (n_map - 1) * n_q * k * 4 * itemsize * resolves
-    # per update iteration: HᵀH (12,12) + Hᵀh (12,) psum over 'data'
-    iters = cfg.ikfom.MAX_NUM_ITERS
-    stats_psum = (2 * (n_data - 1) / max(n_data, 1)) * 156 * itemsize * iters
-    # replicated global num_points: one scalar psum over 'map'
-    count_psum = 4 if n_map > 1 else 0
+    # per body evaluation: HᵀH (12,12) + Hᵀh (12,) psum over 'data'
+    stats_psum = (2 * (n_data - 1) / max(n_data, 1)) * 156 * itemsize * evals
+    # MAX_NUM_MATCHES cap prefix: per resolve, the per-shard keep-counts
+    # (one i32 scalar) are all_gathered over 'data'
+    cap_gather = (n_data - 1) * 4 * resolves if n_data > 1 else 0
+    # replicated global num_points: one scalar (i32) psum over 'map'
+    count_psum = 2 * (n_map - 1) / n_map * 4 if n_map > 1 else 0
     return {
         "knn_allgather_bytes": int(knn_gather),
+        "cap_allgather_bytes": int(cap_gather),
         "hstats_psum_bytes": int(stats_psum),
         "num_points_psum_bytes": int(count_psum),
-        "total_bytes": int(knn_gather + stats_psum + count_psum),
+        "total_bytes": int(knn_gather + cap_gather + stats_psum + count_psum),
     }
+
+
+_HLO_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8,
+                    "s32": 4, "u64": 8, "u32": 4, "s16": 2, "u16": 2,
+                    "s8": 1, "u8": 1, "pred": 1}
+
+
+def hlo_comm_volume(compiled_text: str) -> dict:
+    """Per-device received bytes of every collective in a compiled HLO.
+
+    Ring accounting (matches `comm_volume`): an all-gather receives
+    (D−1)/D of its output; an all-reduce moves 2(D−1)/D of its operand.
+    Returns ``{"allgather_bytes", "allreduce_bytes"}``.
+    """
+    import re
+
+    ag, ar = 0.0, 0.0
+    for line in compiled_text.splitlines():
+        m = re.search(r"=\s*(.*?)\s*\b(all-gather|all-reduce)\(", line)
+        g = re.search(r"replica_groups=\{\{([0-9,]*)\}", line)
+        if not m or not g:
+            continue
+        types, kind = m.group(1), m.group(2)
+        D = g.group(1).count(",") + 1
+        if D <= 1:
+            continue
+        size = 0
+        # result type may be a tuple: sum every dtype[shape] component
+        for dt, shape in re.findall(r"(\w+)\[([\d,]*)\]", types):
+            s = _HLO_DTYPE_BYTES[dt]
+            for d in shape.split(","):
+                if d:
+                    s *= int(d)
+            size += s
+        if kind == "all-gather":
+            ag += size * (D - 1) / D
+        else:
+            ar += 2.0 * size * (D - 1) / D
+    return {"allgather_bytes": int(ag), "allreduce_bytes": int(ar)}
 
 
 def init_global_state(cfg: Config, n_map_shards: int) -> pl.LIOState:

@@ -298,16 +298,16 @@ def update_iterated(s, P, h_model, R, D, max_iters, limit):
 
         dx_ = K_h + (K_x - np.eye(n)) @ dx_new
 
-        # degeneracy guard (ascending eigenvalues like jnp.linalg.eigh)
+        # degeneracy guard: spectral projector V·diag(m)·Vᵀ (the engine's
+        # documented divergence from the reference's sign-dependent
+        # row-zeroing quirk — see models/iekf._degeneracy_guard)
         w_eig, V = np.linalg.eigh(HTH[0:6, 0:6])
-        if np.prod(w_eig) < 1e-20:
-            V = np.eye(6)
-        sel = V.copy()
-        for vi in range(6):
-            if w_eig[vi] < D:
-                sel[vi, :] = 0
+        m_keep = (w_eig >= D).astype(float)
         dx_nd = dx_.copy()
-        dx_nd[0:6] = np.linalg.solve(V, sel @ dx_[0:6])
+        if np.prod(w_eig) < 1e-20:
+            dx_nd[0:6] = m_keep * dx_[0:6]
+        else:
+            dx_nd[0:6] = (V * m_keep[None, :]) @ (V.T @ dx_[0:6])
 
         x = state_boxplus(x, dx_nd)
         converge = bool(np.all(np.abs(dx_) <= limit))

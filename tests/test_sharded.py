@@ -196,3 +196,31 @@ class TestShardedLifecycle:
         # query sharding halves the per-device gather payload
         assert v42["knn_allgather_bytes"] == v4["knn_allgather_bytes"] // 2
         assert v42["hstats_psum_bytes"] > 0
+
+    def test_comm_model_matches_compiled_hlo_1d(self):
+        """The analytic comm model must equal the ACTUAL collectives in the
+        compiled program — a kNN-layout change that alters ICI traffic
+        breaks this test instead of silently invalidating the scaling
+        tables (round-2 weak #6)."""
+        cfg = ge._tiny_cfg(n_pts=512, map_cap=1024, n_shards=4)
+        mesh = sharded.make_mesh(4)
+        step, state = sharded.build_sharded_scan_step(cfg, mesh)
+        txt = step.lower(state, ge._example_batch(cfg)).compile().as_text()
+        got = sharded.hlo_comm_volume(txt)
+        model = sharded.comm_volume(cfg, 4, 1)
+        assert got["allgather_bytes"] == (
+            model["knn_allgather_bytes"] + model["cap_allgather_bytes"])
+        assert got["allreduce_bytes"] == (
+            model["hstats_psum_bytes"] + model["num_points_psum_bytes"])
+
+    def test_comm_model_matches_compiled_hlo_2d(self):
+        cfg = ge._tiny_cfg(n_pts=512, map_cap=1024, n_shards=2)
+        mesh = sharded.make_mesh_2d(2, 2)
+        step, state = sharded.build_sharded_scan_step(cfg, mesh)
+        txt = step.lower(state, ge._example_batch(cfg)).compile().as_text()
+        got = sharded.hlo_comm_volume(txt)
+        model = sharded.comm_volume(cfg, 2, 2)
+        assert got["allgather_bytes"] == (
+            model["knn_allgather_bytes"] + model["cap_allgather_bytes"])
+        assert got["allreduce_bytes"] == (
+            model["hstats_psum_bytes"] + model["num_points_psum_bytes"])

@@ -50,6 +50,62 @@ def test_async_matches_synchronous():
     np.testing.assert_array_equal(async_pos, sync_pos)
 
 
+def test_async_world_state_tap_and_gps():
+    """While the ingest runs: the IMU-rate odometry tap (get_world_state)
+    stays readable from the consumer side, and push_gps events reach an
+    engine with update_gps (and are silently dropped otherwise)."""
+    n = 4
+    seq = synthetic.SyntheticSequence(seed=3, n_scans=n, points_per_scan=2048)
+    loc = Localizer(small_cfg())
+    stamps, acc, gyro = seq.imu_stream()
+    scans = [seq.scan(i) for i in range(n)]
+
+    with AsyncIngest(loc) as ingest:
+        si = 0
+        states = []
+        for k in range(len(stamps)):
+            ingest.push_imu(stamps[k], acc[k], gyro[k])
+            while si < n and scans[si][0] <= stamps[k]:
+                ingest.push_scan(*scans[si][1:], scans[si][0])
+                si += 1
+            ingest.push_gps(stamps[k], np.zeros(3))   # Localizer: dropped
+            if k % 100 == 0:
+                st = ingest.get_world_state()         # IMU-rate odometry tap
+                if st:                                # (engine-lock serialized)
+                    states.append(st)
+        # first-scan jit compile can outlast the whole producer loop — keep
+        # tapping until the filter state exists
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            st = ingest.get_world_state()
+            if st:
+                states.append(st)
+                break
+            time.sleep(0.05)
+    assert len(ingest) == 0                           # gps drained (dropped)
+    assert states and all(np.isfinite(s["pos"]).all() for s in states)
+
+    class GpsRecorder:
+        def __init__(self):
+            self.calls = []
+
+        def update_imu(self, *a):
+            pass
+
+        def update_pointcloud(self, *a):
+            pass
+
+        def update_gps(self, stamp, pos, weight=None):
+            self.calls.append((stamp, np.asarray(pos), weight))
+
+    rec = GpsRecorder()
+    with AsyncIngest(rec) as ing2:
+        for k in range(5):
+            ing2.push_gps(float(k), np.array([k, 0.0, 0.0]), weight=2.0)
+    assert [c[0] for c in rec.calls] == [0.0, 1.0, 2.0, 3.0, 4.0]
+    assert all(c[2] == 2.0 for c in rec.calls)
+
+
 def test_ring_overrun_is_counted_not_fatal():
     class SlowEngine:
         def update_imu(self, *a):
