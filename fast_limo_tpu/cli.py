@@ -59,6 +59,8 @@ def _dump_debug(args, slam):
         match_planes=pick(dbg.match_planes),
         match_keep=pick(dbg.match_keep),
         match_dist=pick(dbg.match_dist),
+        gersh_min=pick(dbg.gersh_min),
+        guard_fired=pick(dbg.guard_fired),
         pos=pick(out.pos), quat=pick(out.quat))
     print(f"debug scan → {path}")
 

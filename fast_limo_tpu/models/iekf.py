@@ -324,6 +324,7 @@ def update_iterated(
     max_iters: int,
     limit: float,
     unroll: bool = None,
+    with_diag: bool = False,
 ):
     """Iterated dynamic-share update (esekfom.hpp:1620-1823).
 
@@ -336,13 +337,18 @@ def update_iterated(
     main.cpp:164-166).
 
     On TPU f32 the whole per-iteration body between ``h_model`` and the
-    loop bookkeeping — chart projection, gain, boxplus, terminal covariance
-    — runs as ONE fused Pallas kernel (ops/update_body.py); its in-kernel
-    Gershgorin bound certifies the degeneracy guard is the identity, and
-    the rare near-degenerate case falls back to the exact jnp body (with
-    the reference's eigh guard) via ``lax.cond``.
+    loop bookkeeping — chart projection, gain, degeneracy guard (exact,
+    in-kernel Jacobi eigh), boxplus, terminal covariance — runs as ONE
+    fused Pallas kernel (ops/update_body.py); with frozen correspondences
+    the ENTIRE loop collapses to one launch (ops/update_loop.py).
 
-    Returns (x', P', n_iters).
+    Returns (x', P', n_iters); with ``with_diag=True`` additionally a dict
+    ``{"gersh_min": (), "guard_fired": ()}`` — the minimum Gershgorin lower
+    bound on the 6×6 pose block of HᵀH across iterations and whether the
+    degeneracy guard's exact branch engaged (gersh_min < D).  The
+    telemetry behind DebugOutput's degeneracy fields (the reference prints
+    nothing when its guard zeroes directions, esekfom.hpp:1736-1744 —
+    drift in degenerate corridors is otherwise undiagnosable).
     """
     dtype = x.pos.dtype
     x_prop, P_prop = x, P
@@ -374,13 +380,16 @@ def update_iterated(
         if use_kernel:
             from fast_limo_tpu.ops import update_body
 
-            xk, Pk, dxk, gm = update_body.update_body_tpu(
-                HTH, HTh, P_prop, x, x_prop, R)
-            x_next, P_fin, dx_ = jax.lax.cond(
-                gm >= D,
-                lambda: (xk, Pk, dxk),
-                lambda: _body_jnp(x, x_prop, P_prop, HTH, HTh, R, D))
+            # the degeneracy guard runs EXACTLY in-kernel (Jacobi eigh) —
+            # no certificate, no fallback branch (the old Gershgorin
+            # certificate never held on real bench geometry, so every
+            # iteration silently paid the jnp eigh path)
+            x_next, P_fin, dx_, gm = update_body.update_body_tpu(
+                HTH, HTh, P_prop, x, x_prop, R, D)
         else:
+            H6 = HTH[0:6, 0:6]
+            hd = jnp.diagonal(H6)
+            gm = jnp.min(hd - (jnp.sum(jnp.abs(H6), axis=1) - jnp.abs(hd)))
             x_next, P_fin, dx_ = _body_jnp(x, x_prop, P_prop, HTH, HTh, R, D)
 
         converged = jnp.all(jnp.abs(dx_) <= limit)
@@ -396,6 +405,7 @@ def update_iterated(
             "t": t_next,
             "i": i + 1,
             "done": done,
+            "g": jnp.minimum(carry["g"], gm.astype(dtype)),
         }
 
     carry0 = {
@@ -404,6 +414,7 @@ def update_iterated(
         "t": jnp.asarray(0, jnp.int32),
         "i": jnp.asarray(-1, jnp.int32),  # reference loop runs i = -1 … max-1
         "done": jnp.asarray(False),
+        "g": jnp.asarray(jnp.inf, dtype),
     }
     if unroll is None:
         unroll = max_iters <= 8
@@ -431,18 +442,26 @@ def update_iterated(
                     "t": jnp.where(was_done, carry["t"], new["t"]),
                     "i": jnp.where(was_done, carry["i"], new["i"]),
                     "done": was_done | new["done"],
+                    "g": jnp.where(was_done, carry["g"], new["g"]),
                 }
             out = carry
         else:
             out = jax.lax.while_loop(cond, body, carry0)
-        return out["x"], out["P"], out["i"] + 1
+        return out["x"], out["P"], out["i"] + 1, out["g"]
 
     if not use_loop_kernel:
-        return run_loop()
+        x_o, P_o, n_o, g_o = run_loop()
+        if with_diag:
+            return x_o, P_o, n_o, {"gersh_min": g_o, "guard_fired": g_o < D}
+        return x_o, P_o, n_o
 
     from fast_limo_tpu.ops import update_loop
 
-    xk, Pk, nit_k, ok = update_loop.update_loop_tpu(
+    xk, Pk, nit_k, ok, g_k = update_loop.update_loop_tpu(
         loop_pack, P_prop, x_prop, R, D, limit, max_iters=max_iters,
         estimate_extrinsics=h_model.loop_extrinsics)
-    return jax.lax.cond(ok, lambda: (xk, Pk, nit_k), run_loop)
+    x_o, P_o, n_o, g_o = jax.lax.cond(
+        ok, lambda: (xk, Pk, nit_k, g_k), run_loop)
+    if with_diag:
+        return x_o, P_o, n_o, {"gersh_min": g_o, "guard_fired": g_o < D}
+    return x_o, P_o, n_o

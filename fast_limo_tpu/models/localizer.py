@@ -301,13 +301,13 @@ class Localizer:
         elif self.epoch is None:   # loaded session with a fresh clock
             self._anchor_epoch(scan.stamp)
 
-        # exactly TWO host→device arrays per scan (each separate transfer
+        # exactly ONE host→device array per scan (each separate transfer
         # costs a fixed RPC on a tunneled device — see build_scan_step_packed)
         scan_pack, imu_pack = self._pack_scan(scan)
 
         self.telemetry.scan_begin()
         self.state, out = self.scan_step(
-            self.state, jnp.asarray(scan_pack), jnp.asarray(imu_pack))
+            self.state, jnp.asarray(pl.fuse_packs(scan_pack, imu_pack)))
         self._maybe_evict(out.pos)
         if self.sync_timing:
             import jax

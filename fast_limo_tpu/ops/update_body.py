@@ -17,16 +17,15 @@ esekfom.hpp:1650-1819):
     dx_new  = J₁·dx        ;  P_it = J₁·P·J₁ᵀ          (esekfom.hpp:1657-1697)
     K_x,K_h = gain(HᵀH, Hᵀh, P_it, R)                   (ops/gain.py algebra)
     dx_     = K_h + K_x·dx_new[:12] − dx_new
-    x_next  = x ⊞ dx_      (FAST-PATH assumption: degeneracy guard = identity)
+    x_next  = x ⊞ guard(dx_)   (EXACT degeneracy guard via in-kernel 6×6
+              Jacobi eigh — `jacobi_guard_head`; no atan needed)
     P_fin   = J₂·(A·P_it·Aᵀ + R·K·Kᵀ)·J₂ᵀ, A = I − [K_x|0]   (Joseph form —
               PSD-preserving under f32 gain error; see iekf._final_P)
-    gersh   = Gershgorin lower bound on eig(HᵀH[0:6,0:6])
-
-``gersh`` lets the caller keep exact reference semantics: when it certifies
-every pose-block eigenvalue ≥ D (the overwhelmingly common case) the guard IS
-the identity and the kernel's outputs are exact; otherwise the caller's
-``lax.cond`` re-runs the plain-jnp body with the eigh guard
-(models/iekf.py:_degeneracy_guard).
+    gersh   = Gershgorin lower bound on eig(HᵀH[0:6,0:6]) — telemetry only
+              (on real bench geometry the bound is hugely negative on every
+              scan while the true eigenvalues are fine, so the round-2
+              certify-or-fallback design silently ran the jnp eigh path
+              every iteration; measured via tools/oracle_corridor.py)
 
 ``boxminus`` stays OUTSIDE the kernel because quaternion/S2 log needs atan2,
 which Mosaic does not lower; it depends only on kernel inputs so it costs a
@@ -310,7 +309,9 @@ def jacobi_guard_head(H6, dx6, D):
     # column-vector matmuls (a (6,6)@(6,) matvec mixing scalar-built and
     # lane-sliced operands hits the Mosaic relayout bug — see _bx_dot)
     g = _dot(V * m[None, :], _dot(V.T, dx6[:, None]))[:, 0]
-    use_I = jnp.prod(w) < 1e-20
+    # explicit product: Mosaic has no reduce_prod lowering
+    w_prod = w[0] * w[1] * w[2] * w[3] * w[4] * w[5]
+    use_I = w_prod < 1e-20
     g = jnp.where(use_I, m * dx6, g)
     # all-pass must be bit-clean (the projector equals I only up to FP noise)
     return jnp.where(jnp.min(w) >= D, dx6, g)
@@ -413,7 +414,7 @@ def _iter_core(HTH, HTh, P, dx, state_scalars, gp, inv_R, guard_D=None):
 
 def _body_kernel(HTH_ref, HTh_ref, P_ref, dx_ref, sc_ref,
                  xn_ref, Pf_ref, dxp_ref, gm_ref):
-    # flattened state x + x_prop.grav + 1/R from SMEM
+    # flattened state x + x_prop.grav + 1/R + D from SMEM
     xs = [sc_ref[0, i] for i in range(XF)]
     state_scalars = (
         jnp.stack(xs[0:3]), jnp.stack(xs[3:7]), jnp.stack(xs[7:11]),
@@ -421,10 +422,11 @@ def _body_kernel(HTH_ref, HTh_ref, P_ref, dx_ref, sc_ref,
         jnp.stack(xs[20:23]), jnp.stack(xs[23:26]))
     gp = jnp.stack([sc_ref[0, XF + i] for i in range(3)])   # x_prop.grav
     inv_R = sc_ref[0, XF + 3]
+    D = sc_ref[0, XF + 4]
 
     xn, Pf, dx_, gersh = _iter_core(
         HTH_ref[:, :], HTh_ref[0, :], P_ref[:, :], dx_ref[0, :],
-        state_scalars, gp, inv_R)
+        state_scalars, gp, inv_R, guard_D=D)
     xn_ref[0, :] = xn
     Pf_ref[:, :] = Pf
     dxp_ref[0, :] = dx_
@@ -432,19 +434,24 @@ def _body_kernel(HTH_ref, HTh_ref, P_ref, dx_ref, sc_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def update_body_tpu(HTH, HTh, P, x: st.NavState, x_prop: st.NavState, R,
+def update_body_tpu(HTH, HTh, P, x: st.NavState, x_prop: st.NavState, R, D,
                     *, interpret: bool = False):
-    """One fused update-iteration body on TPU.
+    """One fused update-iteration body on TPU, incl. the EXACT degeneracy
+    guard (in-kernel Jacobi eigh — see `jacobi_guard_head`).
 
     Returns ``(x_next (NavState), P_fin (23,23), dx_ (23,), gersh_min ())``
-    under the fast-path (identity degeneracy guard) assumption; the caller
-    must fall back to the exact jnp body when ``gersh_min < D``.
+    — gersh_min is telemetry only (the round-2 design used it to certify a
+    guard-free fast path, but on the real bench geometry the Gershgorin
+    bound is hugely negative on EVERY scan while the true eigenvalues are
+    fine, so certification never engaged and every iteration paid the jnp
+    eigh fallback; the in-kernel guard removes that path entirely).
     """
     f32 = jnp.float32
     dx = st.boxminus(x, x_prop).astype(f32)
     sc = jnp.concatenate([
         st.as_vector(x).astype(f32), x_prop.grav.astype(f32),
-        jnp.asarray(1.0 / R, f32)[None], jnp.zeros(2, f32)])[None, :]  # (1,32)
+        jnp.asarray(1.0 / R, f32)[None], jnp.asarray(D, f32)[None],
+        jnp.zeros(1, f32)])[None, :]  # (1,32)
 
     xn, Pf, dxp, gm = pl.pallas_call(
         _body_kernel,

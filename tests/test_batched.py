@@ -24,8 +24,11 @@ def _make_batches(cfg, seed, n_scans):
     orig = loc.scan_step
     N, K = cfg.tpu.max_points_per_scan, cfg.tpu.imu_batch
 
-    def capture(s, scan_pack, imu_pack):
-        # rebuild the logical ScanBatch from the packed transfer arrays
+    def capture(s, pack):
+        # rebuild the logical ScanBatch from the fused transfer buffer
+        # (f32 mode: [scan rows | imu rows] — see pipeline.fuse_packs)
+        scan_pack = pack[: N * 4].reshape(N, 4)
+        imu_pack = pack[N * 4:].reshape(K, 8)
         captured.append(pl.ScanBatch(
             points=scan_pack[:, :3], t_raw=scan_pack[:, 3],
             valid=jnp.arange(N) < imu_pack[0, 7].astype(jnp.int32),
@@ -34,7 +37,7 @@ def _make_batches(cfg, seed, n_scans):
             imu_acc=imu_pack[:, 0:3], imu_gyro=imu_pack[:, 3:6],
             imu_stamp=imu_pack[:, 6],
             imu_valid=jnp.arange(K) < imu_pack[1, 7].astype(jnp.int32)))
-        return orig(s, scan_pack, imu_pack)
+        return orig(s, pack)
 
     loc.scan_step = capture
     stamps, acc, gyro = seq.imu_stream()

@@ -189,7 +189,7 @@ def test_packed_step_matches_unpacked(seq):
 
     s0 = pl.init_state(cfg)
     s1, o1 = step(s0, b)
-    s2, o2 = pstep(s0, jnp.asarray(scan_pack), jnp.asarray(imu_pack))
+    s2, o2 = pstep(s0, jnp.asarray(pl.fuse_packs(scan_pack, imu_pack)))
     for a, bb in zip(jax.tree_util.tree_leaves((s1, o1)),
                      jax.tree_util.tree_leaves((s2, o2))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))

@@ -67,8 +67,10 @@ def _compare(case, err_ratio=12.0, floor=5e-5):
     xp64 = st.NavState(*[_to64(v) for v in x_prop])
     ref64 = _fastpath_body(_to64(HTH), _to64(HTh), _to64(P), x64, xp64, R)
     ref32 = _fastpath_body(HTH, HTh, P, x, x_prop, R)
+    # D = -inf: every eigenvalue passes, the in-kernel guard is (bit-clean)
+    # identity — isolates the body algebra against the guard-free reference
     xk, Pk, dxk, gm = update_body.update_body_tpu(
-        HTH, HTh, P, x, x_prop, R, interpret=True)
+        HTH, HTh, P, x, x_prop, R, -1e30, interpret=True)
     kern = (xk, Pk, dxk)
 
     names = ("x_next", "P_fin", "dx_")
@@ -102,6 +104,36 @@ def test_large_iterate_delta(rng):
 def test_zero_extrinsic_dims(rng):
     """estimate_extrinsics=False: measurement columns 6..12 exactly zero."""
     _compare(_case(rng, 1e-2, zero_dims=range(6, 12)))
+
+
+def test_guarded_body_matches_jnp_body(rng):
+    """With a real D, the in-kernel Jacobi guard must match the jnp body's
+    eigh guard (iekf._body_jnp) on a degenerate problem."""
+    x_prop = _rand_state(rng, jnp.float32)
+    pert = jnp.asarray(rng.standard_normal(23) * 1e-3, jnp.float32)
+    x = st.boxplus(x_prop, pert)
+    # pose block with three ~0.5 eigenvalues (guarded) and three large
+    B = rng.standard_normal((6, 3))
+    H6 = B @ B.T * 100 + 0.5 * np.eye(6)
+    H = np.zeros((12, 12))
+    H[:6, :6] = H6
+    H[6:, 6:] = np.eye(6) * 50
+    HTH = jnp.asarray(H, jnp.float32)
+    HTh = jnp.asarray(rng.standard_normal(12) * 10, jnp.float32)
+    Q = rng.standard_normal((23, 23)) * 0.05
+    P = jnp.asarray(Q @ Q.T + np.eye(23) * 0.01, jnp.float32)
+    R, D = 1e-3, 5.0
+
+    want = iekf._body_jnp(x, x_prop, P, HTH, HTh, R, D)
+    got = update_body.update_body_tpu(HTH, HTh, P, x, x_prop, R, D,
+                                      interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(st.as_vector(got[0])), np.asarray(st.as_vector(want[0])),
+        rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(want[2]),
+                               rtol=1e-3, atol=1e-4)
 
 
 def test_update_iterated_parity_cpu(rng):

@@ -98,7 +98,7 @@ class TestWholeLoopKernel:
             x_prop, P, h_model, R=R, D=D, max_iters=max_iters, limit=limit)
 
         X = hstats.pack_inputs(pc, n_abcd, keep)
-        x_k, P_k, n_k, ok = update_loop.update_loop_tpu(
+        x_k, P_k, n_k, ok, _g = update_loop.update_loop_tpu(
             X, P, x_prop, R, D, limit, max_iters=max_iters,
             estimate_extrinsics=ee, interpret=True)
         return (x_ref, P_ref, n_ref), (x_k, P_k, n_k, ok)
@@ -123,7 +123,7 @@ class TestWholeLoopKernel:
         x_ref, P_ref, n_ref = iekf.update_iterated(
             x_prop, P, h_model, R=R, D=D, max_iters=max_iters, limit=limit)
         X = hstats.pack_inputs(pc, n_abcd, keep)
-        x_k, P_k, n_k, ok = update_loop.update_loop_tpu(
+        x_k, P_k, n_k, ok, _g = update_loop.update_loop_tpu(
             X, P, x_prop, R, D, limit, max_iters=max_iters,
             estimate_extrinsics=False, interpret=True)
         assert bool(ok)
@@ -165,7 +165,7 @@ class TestWholeLoopKernel:
         x_ref, P_ref, n_ref = iekf.update_iterated(
             x_prop, P, h_model, R=R, D=D, max_iters=max_iters, limit=limit)
         X = hstats.pack_inputs(pc, n_abcd, keep)
-        x_k, P_k, n_k, ok = update_loop.update_loop_tpu(
+        x_k, P_k, n_k, ok, _g = update_loop.update_loop_tpu(
             X, P, x_prop, R, D, limit, max_iters=max_iters,
             estimate_extrinsics=True, interpret=True)
         assert bool(ok)
