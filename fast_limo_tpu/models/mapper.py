@@ -290,8 +290,11 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 0,
     packed = (((vc0[:, 0] & 0x3FF) << 20)
               | ((vc0[:, 1] & 0x3FF) << 10)
               | (vc0[:, 2] & 0x3FF))
-    _, _, order = jax.lax.sort(
-        (key_g, packed, jnp.arange(N, dtype=jnp.int32)), num_keys=2)
+    # single-launch bitonic sort on TPU (ops/sort.py); the arange operand
+    # totalizes the order → bit-identical to the stable 2-key XLA sort
+    from fast_limo_tpu.ops import sort as psort
+
+    _, _, order = psort.sort3(key_g, packed, jnp.arange(N, dtype=jnp.int32))
     vc = vc0[order]
     pts = pts[order]
     valid = valid[order]

@@ -101,7 +101,6 @@ class ScanOutput(NamedTuple):
     final_scan: jnp.ndarray        # (M,3) world-frame registered scan
     final_valid: jnp.ndarray       # (M,)
     scan_body: jnp.ndarray         # (M,3) body(Xt2)-frame pc2match (for loop closure)
-    descriptor: jnp.ndarray        # (R,S) ScanContext of the body-frame scan
     n_iters: jnp.ndarray
     n_deskewed: jnp.ndarray
     n_pc2match: jnp.ndarray
@@ -288,14 +287,14 @@ def build_scan_step(cfg: Config, *, donate: bool = True, jit: bool = True,
             pinned_grav=s.pinned_grav,
         )
 
+        # NOTE: the ScanContext descriptor is deliberately NOT computed here
+        # — it costs 0.68 ms/scan (measured v5e) but is only consumed at
+        # keyframe ACCEPTANCE (every ~2 m); SLAM computes it on demand from
+        # the retained scan_body (build_descriptor_step)
         out = ScanOutput(
             pos=x_u.pos, quat=x_u.rot, vel=x_u.vel,
             final_scan=w_scan, final_valid=ins_valid & do_update,
             scan_body=ins_pts,
-            descriptor=sc.descriptor(
-                ins_pts, ins_valid, n_ring=cfg.sc.n_ring,
-                n_sector=cfg.sc.n_sector, max_radius=cfg.sc.max_radius,
-                height_shift=cfg.sc.height_shift),
             n_iters=n_iters, n_deskewed=jnp.sum(pvalid),
             n_pc2match=jnp.sum(pc2_valid), scan_stamp=scan_end,
         )
@@ -465,6 +464,20 @@ def build_scan_chunk_step(cfg: Config, *, donate: bool = True):
             s, (scan_packs, imu_packs), unroll=True)
 
     return jax.jit(chunk_step, donate_argnums=(0,) if donate else ())
+
+
+def build_descriptor_step(cfg: Config):
+    """Jitted ScanContext descriptor of a body-frame scan — called by SLAM
+    only at keyframe ACCEPTANCE (sparse), not per scan (it used to ride
+    ScanOutput at 0.68 ms per scan on the v5e)."""
+
+    @jax.jit
+    def descriptor_step(pts, valid):
+        return sc.descriptor(
+            pts, valid, n_ring=cfg.sc.n_ring, n_sector=cfg.sc.n_sector,
+            max_radius=cfg.sc.max_radius, height_shift=cfg.sc.height_shift)
+
+    return descriptor_step
 
 
 def build_prop_step(cfg: Config):

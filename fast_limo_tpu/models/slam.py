@@ -103,6 +103,7 @@ class SLAM:
         self.enable_loop = enable_loop_closure
         self.keyframes: List[Keyframe] = []
         self._rebuild_step = None           # cached jitted batch-rebuild fn
+        self._descriptor_step = None        # cached jitted SC descriptor fn
         self.loop_edges: List[tuple] = []   # (i, j, quat, trans, weight)
         self.n_loops_closed = 0
         self._last_scan_count = 0
@@ -214,12 +215,18 @@ class SLAM:
             if dp < self.loop_cfg.kf_dist and dyaw < self.loop_cfg.kf_angle:
                 return
 
-        # accepted: fetch the scan's own cloud + descriptor (one device_get;
-        # keyframes are sparse, so the larger transfer is rare)
+        # accepted: compute the ScanContext descriptor on demand (it is NOT
+        # in the per-scan pipeline — keyframes are sparse) and fetch the
+        # scan's own cloud in one device_get
         import jax
 
+        if self._descriptor_step is None:
+            from fast_limo_tpu.models import pipeline as pl
+
+            self._descriptor_step = pl.build_descriptor_step(self.cfg)
+        desc_dev = self._descriptor_step(out.scan_body, out.final_valid)
         body, valid, desc = jax.device_get(
-            (out.scan_body, out.final_valid, out.descriptor))
+            (out.scan_body, out.final_valid, desc_dev))
         body = np.asarray(body)
         sel = np.nonzero(np.asarray(valid))[0]
 

@@ -182,7 +182,13 @@ class TestScanContextConfig:
             seed=2, n_scans=3, points_per_scan=4096,
             noise_pt=0.01, noise_gyro=5e-4, noise_acc=5e-3)
         loc = run_odometry(cfg, seq, 2)
-        assert loc.last_output.descriptor.shape == (12, 40)
+        # the descriptor is computed on demand (keyframe acceptance), not
+        # per scan — its geometry still comes from cfg.sc
+        from fast_limo_tpu.models import pipeline as pl
+
+        dstep = pl.build_descriptor_step(cfg)
+        out = loc.last_output
+        assert dstep(out.scan_body, out.final_valid).shape == (12, 40)
 
     def test_yaml_roundtrip(self, tmp_path):
         from fast_limo_tpu.utils.config import Config
