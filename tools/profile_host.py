@@ -48,51 +48,20 @@ def main():
     t_imu = []
     orig_dispatch = loc._dispatch
 
+    from fast_limo_tpu.models import pipeline as pl
+
     def timed_dispatch(scan):
-        cfgl = loc.cfg
-        # replicate _dispatch but timed
+        # the CURRENT production dispatch (_pack_scan + fuse_packs + one
+        # fused transfer + the jitted call), phase-timed
         t0 = time.perf_counter()
         if loc.state is None:
             loc._init_device_state(scan.stamp)
-        batch = []
-        while loc._imu_queue:
-            batch.append(loc._imu_queue.popleft())
-            if batch[-1][0] >= scan.last_pt_time:
-                break
-        K = cfgl.tpu.imu_batch
-        N = cfgl.tpu.max_points_per_scan
-        npts = len(scan.points)
-        pts, traw = scan.points, scan.t_raw
-        new_epoch = scan.stamp
-        epoch_shift = 0.0 if loc.epoch is None else new_epoch - loc.epoch
-        loc.epoch = new_epoch
-        quant = float(cfgl.tpu.quantize_transfer)
-        t_scale = 1.0
-        if quant > 0:
-            scan_pack = np.zeros((N, 4), np.int16)
-            np.clip(np.rint(pts * (1.0 / quant)), -32767, 32767,
-                    out=scan_pack[:npts, :3], casting="unsafe")
-            t_scale = max(float(np.max(np.abs(traw))), 1e-12) / 32767.0
-            np.clip(np.rint(traw * (1.0 / t_scale)), -32767, 32767,
-                    out=scan_pack[:npts, 3], casting="unsafe")
-        else:
-            scan_pack = np.zeros((N, 4), np.float32)
-            scan_pack[:npts, :3] = pts
-            scan_pack[:npts, 3] = traw
-        imu_pack = np.zeros((K, 8), np.float32)
-        for i, (s, a, g) in enumerate(batch):
-            imu_pack[i, 0:3] = a
-            imu_pack[i, 3:6] = g
-            imu_pack[i, 6] = s - new_epoch
-        imu_pack[0, 7] = npts
-        imu_pack[1, 7] = len(batch)
-        imu_pack[2, 7] = epoch_shift
-        imu_pack[3, 7] = t_scale
+        scan_pack, imu_pack = loc._pack_scan(scan)
+        fused = pl.fuse_packs(scan_pack, imu_pack)
         t1 = time.perf_counter()
-        d_scan = jnp.asarray(scan_pack)
-        d_imu = jnp.asarray(imu_pack)
+        d = jnp.asarray(fused)
         t2 = time.perf_counter()
-        loc.state, out = loc.scan_step(loc.state, d_scan, d_imu)
+        loc.state, out = loc.scan_step(loc.state, d)
         t3 = time.perf_counter()
         loc.last_output = out
         loc._raw_outputs.append((loc.epoch, out))
