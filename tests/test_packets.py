@@ -1,0 +1,74 @@
+"""Per-packet streaming (io/packets.py): the engine must track when fed
+partial clouds at packet rate — the reference's modified-driver mode
+(README.md:247)."""
+
+import numpy as np
+import pytest
+
+from fast_limo_tpu.io import synthetic
+from fast_limo_tpu.io.packets import PacketSlicer
+from fast_limo_tpu.models.localizer import Localizer
+from test_pipeline import small_cfg
+
+
+def _drive(loc, seq, n, slicer=None):
+    stamps, acc, gyro = seq.imu_stream()
+    scans = [seq.scan(i) for i in range(n)]
+    si = 0
+    for k in range(len(stamps)):
+        loc.update_imu(stamps[k], acc[k], gyro[k])
+        while si < n and scans[si][0] <= stamps[k]:
+            st, pts, traw = scans[si]
+            if slicer is None:
+                loc.update_pointcloud(pts, traw, st)
+            else:
+                for p_pts, p_traw, p_st in slicer.packets(pts, traw, st):
+                    loc.update_pointcloud(p_pts, p_traw, p_st)
+            si += 1
+    return loc
+
+
+@pytest.mark.slow
+def test_packet_replay_tracks_like_full_sweeps():
+    n = 8
+    seq = synthetic.SyntheticSequence(
+        seed=4, n_scans=n, points_per_scan=4096,
+        noise_pt=0.01, noise_gyro=5e-4, noise_acc=5e-3)
+
+    full = _drive(Localizer(small_cfg()), seq, n)
+    pk = _drive(Localizer(small_cfg()), seq, n, PacketSlicer(n_packets=4))
+
+    # packet mode produces one pose per PACKET
+    assert len(pk.trajectory) == 4 * len(full.trajectory)
+
+    gt_full = seq.traj.pos(full.stamps())
+    gt_pk = seq.traj.pos(pk.stamps())
+    ate_full = synthetic.ate_rmse(full.positions(), gt_full)
+    ate_pk = synthetic.ate_rmse(pk.positions(), gt_pk)
+    # partial clouds see a quarter of the geometry per update; the packet
+    # trajectory must still track, within a loose factor of the full-sweep
+    # accuracy (and both well inside the reference's real-time regime)
+    assert ate_pk < max(3.0 * ate_full, 0.15), (ate_pk, ate_full)
+
+
+def test_slicer_partitions_and_orders():
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(1000, 3)).astype(np.float32)
+    traw = rng.uniform(0, 0.1, 1000).astype(np.float32)
+    sl = PacketSlicer(n_packets=5)
+    got = list(sl.packets(pts, traw, 12.5))
+    assert len(got) == 5
+    assert sum(len(p[0]) for p in got) == 1000
+    # packets come in firing order: time windows are disjoint and increasing
+    prev_max = -np.inf
+    for p_pts, p_traw, st in got:
+        assert st == 12.5
+        assert p_traw.min() >= prev_max - 1e-9
+        prev_max = p_traw.max()
+    # end-of-sweep convention flips the direction (negative-relative times)
+    sl2 = PacketSlicer(n_packets=3, end_of_sweep=True)
+    traw_neg = -traw
+    prev_min = np.inf
+    for _p, p_traw, _s in sl2.packets(pts, traw_neg, 1.0):
+        assert p_traw.max() <= prev_min + 1e-9
+        prev_min = p_traw.min()
