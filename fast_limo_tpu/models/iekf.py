@@ -206,9 +206,13 @@ def _degeneracy_guard(HTH, dx_, D):
     """Zero degenerate pose-update directions (esekfom.hpp:1736-1744).
 
     Fast path: when Gershgorin certifies every eigenvalue of the 6×6 pose
-    block is ≥ D (the overwhelmingly common, well-conditioned case — HᵀH
-    diagonals are in the thousands vs D=5), the guard is the identity and
-    the expensive ``eigh`` (≈0.8 ms on v5e) is skipped via ``lax.cond``.
+    block is ≥ D the guard is the identity and the ``eigh`` is skipped via
+    ``lax.cond``.  NOTE (measured, tools/oracle_corridor.py): on real bench
+    geometry the bound is hugely negative on every scan (strong pos↔rot
+    coupling at 20 m lever arms) while the true eigenvalues are fine, so
+    this certificate rarely engages — it is kept for the off-TPU path
+    only; the TPU kernels run the guard exactly in-kernel
+    (ops/update_body.jacobi_guard_head) with no certificate at all.
 
     DELIBERATE DIVERGENCE from the reference's literal code: the reference
     zeroes ROWS of the eigenvector matrix and applies ``V⁻¹·(sel·dx)``
