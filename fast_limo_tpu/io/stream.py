@@ -58,6 +58,8 @@ class AsyncIngest:
         self._wake = threading.Event()
         self.imu_dropped = 0                   # ring-full events (overrun)
         self.error: Optional[BaseException] = None  # engine failure in _run
+        self._idle = threading.Event()         # dispatch thread between drains
+        self._idle.set()
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="fast_limo_tpu-dispatch")
         self._thread.start()
@@ -105,10 +107,16 @@ class AsyncIngest:
             return self.engine.get_body_state()
 
     def flush(self) -> None:
-        """Block until every queued record has been dispatched, then flush
-        the engine (end-of-stream partial chunks).  The dispatch thread
-        stays alive — unlike close()."""
-        while len(self) and self._thread.is_alive():
+        """Block until every queued record has been dispatched AND the
+        dispatch thread is idle, then flush the engine (end-of-stream
+        partial chunks).  The dispatch thread stays alive — unlike close().
+
+        Records are popped BEFORE their engine call runs, so an empty
+        queue alone does not mean the engine is quiescent — the idle flag
+        closes that window, and the engine lock serializes engine.flush()
+        against any dispatch that slips in after it."""
+        while ((len(self) or not self._idle.is_set())
+               and self._thread.is_alive()):
             self._wake.set()
             self._thread.join(timeout=0.01)
         if self.error is not None:
@@ -116,7 +124,8 @@ class AsyncIngest:
                 from self.error
         flush = getattr(self.engine, "flush", None)
         if flush is not None:
-            flush()
+            with self._engine_lock:
+                flush()
 
     # -------------------------------------------------------------- consumer
     def _drain_imu(self) -> bool:
@@ -170,13 +179,16 @@ class AsyncIngest:
             # IMU first each cycle: scans dispatch only once covered anyway,
             # and fresher IMU lets a queued scan go out this cycle
             try:
+                self._idle.clear()
                 any_work = self._drain_imu()
                 any_work |= self._drain_gps()
                 any_work |= self._drain_scans()
             except BaseException as e:   # record engine failure, stop draining
                 self.error = e
+                self._idle.set()
                 return
             if not any_work:
+                self._idle.set()
                 self._wake.wait(timeout=0.002)
                 self._wake.clear()
 

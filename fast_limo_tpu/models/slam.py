@@ -4,9 +4,12 @@ The reference ships this only on its out-of-snapshot branches
 (`loop/scancontext`: ScanContext + GTSAM + GPS factors, README.md:152-159);
 here it is built from the papers, TPU-first:
 
-* every scan's ScanContext descriptor comes out of the jitted scan step for
-  free; the host keeps a keyframe database (poses, descriptors, ring keys,
-  subsampled body-frame clouds),
+* keyframes capture each scan's OWN device-side outputs (pose + body-frame
+  cloud), lagged one scan behind dispatch so reads never sync the step in
+  flight; the ScanContext descriptor is computed on demand at keyframe
+  ACCEPTANCE (sparse — it is deliberately NOT a per-scan pipeline output);
+  the host keeps the keyframe database (poses, descriptors, ring keys,
+  subsampled ICP clouds + denser rebuild clouds),
 * loop candidates: ring-key L1 retrieval → full shifted-correlation
   distance → ICP verification seeded with the ScanContext yaw,
 * verified loops become edges of the dense-GN pose graph; the correction is
@@ -576,3 +579,17 @@ class SLAM:
 
     def stamps(self):
         return np.array([t["stamp"] for t in self.trajectory])
+
+    # state queries forward to the Localizer so a SLAM engine satisfies the
+    # same query surface (e.g. AsyncIngest.get_world_state over a SLAM)
+    def get_world_state(self):
+        return self.loc.get_world_state()
+
+    def get_body_state(self):
+        return self.loc.get_body_state()
+
+    def get_pose_covariance(self):
+        return self.loc.get_pose_covariance()
+
+    def get_twist_covariance(self):
+        return self.loc.get_twist_covariance()

@@ -124,6 +124,22 @@ def sort3_tpu(k1, k2, v, *, interpret: bool = False):
     return (o1.reshape(-1)[:N], o2.reshape(-1)[:N], o3.reshape(-1)[:N])
 
 
+def sort_key_val(key, val):
+    """Stable single-key sort (key asc, ties by original order when ``val``
+    is an arange).  Kernel path reuses the 3-operand bitonic network; the
+    default path is XLA's native ``sort_key_val`` (cheaper than a 2-key
+    variadic sort — no redundant third operand)."""
+    import os
+
+    from fast_limo_tpu.ops import dispatch
+
+    if (_HAS_PALLAS and os.environ.get("FAST_LIMO_SORT_KERNEL") == "1"
+            and dispatch.kernel_enabled("sort")):
+        k, _, v = sort3_tpu(key, val, val)
+        return k, v
+    return jax.lax.sort_key_val(key.astype(jnp.int32), val.astype(jnp.int32))
+
+
 def sort3(k1, k2, v):
     """Dispatch: stable lax.sort by default; the Pallas bitonic kernel only
     with ``FAST_LIMO_SORT_KERNEL=1`` (measured at parity with XLA — see

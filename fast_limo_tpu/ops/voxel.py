@@ -39,13 +39,9 @@ def voxel_downsample(pts, valid, leaf: float):
            | ((vc[:, 1] & 0x3FF) << 10)
            | (vc[:, 2] & 0x3FF))
     key = jnp.where(valid, key, jnp.int32(0x7FFFFFFF))  # invalids sort last
-    # single-launch bitonic sort on TPU (ops/sort.py); the arange operand
-    # makes the order total, so the result is bit-identical to the stable
-    # XLA sort_key_val both paths reduce to
     from fast_limo_tpu.ops import sort as psort
 
-    idx = jnp.arange(N, dtype=jnp.int32)
-    key_s, _, order = psort.sort3(key, idx, idx)
+    key_s, order = psort.sort_key_val(key, jnp.arange(N, dtype=jnp.int32))
 
     valid_s = valid[order]
     pts_s = jnp.where(valid_s[:, None], pts[order], 0.0)

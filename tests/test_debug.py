@@ -74,6 +74,12 @@ def test_debug_surface_contents():
     assert dbg.match_keep.shape == (Q,)
     assert dbg.match_dist.shape == (Q,)
 
+    # degeneracy-guard telemetry (round-3): the Gershgorin bound is a real
+    # finite scalar and guard_fired is its < D predicate
+    g = float(dbg.gersh_min)
+    assert np.isfinite(g)
+    assert bool(dbg.guard_fired) == (g < cfg.ikfom.degeneracy_thresh)
+
     keep = np.asarray(dbg.match_keep)
     n_keep = int(keep.sum())
     # matches exist and agree with the scan's reported match count bound

@@ -106,6 +106,18 @@ def test_async_world_state_tap_and_gps():
     assert all(c[2] == 2.0 for c in rec.calls)
 
 
+def test_facade_queries_work_over_slam():
+    """The AsyncIngest query facade must work for SLAM engines too (SLAM
+    forwards get_*_state to its Localizer)."""
+    from fast_limo_tpu.models.slam import SLAM
+
+    slam = SLAM(small_cfg(), enable_loop_closure=False)
+    with AsyncIngest(slam) as ing:
+        assert ing.get_world_state() == {}     # no state yet, no crash
+        assert ing.get_body_state() == {}
+    assert slam.get_pose_covariance().shape == (6, 6)
+
+
 def test_ring_overrun_is_counted_not_fatal():
     class SlowEngine:
         def update_imu(self, *a):
