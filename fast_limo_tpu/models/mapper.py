@@ -295,11 +295,22 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 0,
     from fast_limo_tpu.ops import sort as psort
 
     _, _, order = psort.sort3(key_g, packed, jnp.arange(N, dtype=jnp.int32))
-    vc = vc0[order]
-    pts = pts[order]
-    valid = valid[order]
-    g = jnp.where(valid, g0[order], 0)
-    g_s = key_g[order]
+    # apply the permutation with ONE row gather: gather cost on TPU is
+    # per-ROW, width-independent, and five separate [order] gathers were
+    # ~0.2 ms each (the dominant insert cost after the resolve gather —
+    # tools/profile_insert_stages.py).  All packed lanes are exactly
+    # representable in f32 (|voxel coord| < 2²⁴, g0 < G, valid ∈ {0,1}).
+    fused = jnp.concatenate(
+        [vc0.astype(jnp.float32), pts,
+         g0.astype(jnp.float32)[:, None],
+         valid.astype(jnp.float32)[:, None]], axis=1)        # (N,8)
+    perm = fused[order]
+    vc = perm[:, 0:3].astype(jnp.int32)
+    pts = perm[:, 3:6]
+    valid = perm[:, 7] > 0
+    g = jnp.where(valid, perm[:, 6].astype(jnp.int32), 0)
+    g_s = jnp.where(valid, perm[:, 6].astype(jnp.int32),
+                    jnp.int32(0x7FFFFFFF))
 
     # ---- resolve each point's voxel against its group (pre-insert state) ----
     ent, match_e, counts_e = _group_rows(m, g, vc)           # (N,E,EW),(N,E)

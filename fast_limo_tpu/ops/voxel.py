@@ -43,8 +43,13 @@ def voxel_downsample(pts, valid, leaf: float):
 
     key_s, order = psort.sort_key_val(key, jnp.arange(N, dtype=jnp.int32))
 
-    valid_s = valid[order]
-    pts_s = jnp.where(valid_s[:, None], pts[order], 0.0)
+    # ONE row gather applies the permutation to points+validity together
+    # (row-gather cost is per-row, width-independent)
+    fused = jnp.concatenate(
+        [pts, valid.astype(pts.dtype)[:, None]], axis=1)    # (N,4)
+    perm = fused[order]
+    valid_s = perm[:, 3] > 0
+    pts_s = jnp.where(valid_s[:, None], perm[:, :3], 0.0)
 
     new_seg = jnp.concatenate(
         [jnp.array([True]), key_s[1:] != key_s[:-1]]) & valid_s
