@@ -36,6 +36,11 @@ except Exception:  # pragma: no cover
 
 _LANES = 128
 _FW = 24          # frame-table row width (17 used, padded)
+# invalid-frame time sentinel: large FINITE value, not inf — the masked
+# accumulation computes 0·T for non-selected frames, and 0·inf is NaN
+# (poisons every point); any point time is ≪ 1e30 so the masks behave
+# identically
+_T_SENTINEL = 1e30
 
 
 def _cos_sinc_ch(x2):
@@ -73,18 +78,19 @@ def _kernel(X_ref, F_ref, sc_ref, out_ref, *, Nr: int, K: int):
     lx, ly, lz = s[11], s[12], s[13]                 # x_last.pos
 
     # ---- per-point frame parameters via masked accumulation ----
+    # frame scalars come from SMEM (native scalar loads; VMEM row extracts
+    # measured ~0.7 ms for the same loop)
     zero = px * 0.0
     acc = [zero] * 17       # [t_k, pos3, rot4, vel3, a0w3, weff3]
-    rows = [F_ref[k, :] for k in range(K)]           # (FW,) frame rows
     for k in range(K):
-        Tk = rows[k][0]
-        Tn = rows[k + 1][0] if k + 1 < K else jnp.float32(jnp.inf)
+        Tk = F_ref[k, 0]
+        Tn = F_ref[k + 1, 0] if k + 1 < K else jnp.float32(_T_SENTINEL)
         if k == 0:
             m = (t < Tn).astype(f32)                 # left clip to frame 0
         else:
             m = ((t >= Tk) & (t < Tn)).astype(f32)
         for j in range(17):
-            acc[j] = acc[j] + m * rows[k][j]
+            acc[j] = acc[j] + m * F_ref[k, j]
     tk = acc[0]
     fpx, fpy, fpz = acc[1], acc[2], acc[3]
     qw, qx, qy, qz = acc[4], acc[5], acc[6], acc[7]
@@ -140,12 +146,17 @@ def _kernel(X_ref, F_ref, sc_ref, out_ref, *, Nr: int, K: int):
     y2c = I[3] * dx0 + I[4] * dy0 + I[5] * dz0
     z2c = I[6] * dx0 + I[7] * dy0 + I[8] * dz0
 
-    out_ref[0 * Nr:1 * Nr, :] = x2c * vld
-    out_ref[1 * Nr:2 * Nr, :] = y2c * vld
-    out_ref[2 * Nr:3 * Nr, :] = z2c * vld
-    out_ref[3 * Nr:4 * Nr, :] = wxp * vld
-    out_ref[4 * Nr:5 * Nr, :] = wyp * vld
-    out_ref[5 * Nr:6 * Nr, :] = wzp * vld
+    # SELECT, not multiply: invalid lanes can carry NaN/inf inputs (raw
+    # sensor NaN points are masked invalid by preprocess, not removed) and
+    # NaN·0 = NaN would leak through a multiplicative mask
+    keep = vld > 0
+    zero = jnp.zeros_like(px)       # a true 0 (px·0 would be NaN on NaN lanes)
+    out_ref[0 * Nr:1 * Nr, :] = jnp.where(keep, x2c, zero)
+    out_ref[1 * Nr:2 * Nr, :] = jnp.where(keep, y2c, zero)
+    out_ref[2 * Nr:3 * Nr, :] = jnp.where(keep, z2c, zero)
+    out_ref[3 * Nr:4 * Nr, :] = jnp.where(keep, wxp, zero)
+    out_ref[4 * Nr:5 * Nr, :] = jnp.where(keep, wyp, zero)
+    out_ref[5 * Nr:6 * Nr, :] = jnp.where(keep, wzp, zero)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -173,7 +184,7 @@ def deskew_tpu(points, t_pts, valid, frames, x_last_rot, x_last_pos,
 
     # frame table: per-frame constants precomputed OUTSIDE (cheap K-sized
     # math): [T_k, pos3, rot4, vel3, a0_world3(incl grav), w_eff3]
-    T = jnp.where(frames.valid, frames.time, jnp.inf).astype(f32)
+    T = jnp.where(frames.valid, frames.time, _T_SENTINEL).astype(f32)
     w_eff = frames.w - frames.bg
     a0w = so3.quat_rotate(frames.rot, frames.a - frames.ba) + frames.grav
     F = jnp.zeros((K, _FW), f32)
@@ -193,7 +204,7 @@ def deskew_tpu(points, t_pts, valid, frames, x_last_rot, x_last_pos,
         functools.partial(_kernel, Nr=Nr, K=K),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, _FW), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 16), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -75,3 +75,26 @@ def test_matches_with_invalid_frame_tail(rng):
 
 def test_matches_unpadded_lane_multiple(rng):
     _compare(_case(rng, N=1280))
+
+
+def test_nan_inputs_on_invalid_lanes_stay_masked(rng):
+    """Raw sensor NaN points are masked invalid (not removed) by
+    preprocess; the kernel must not leak NaN through its masking."""
+    pts, t, valid, frames, x_last, q_ext, t_ext = _case(rng)
+    pts = np.array(pts)
+    valid = np.array(valid)
+    bad = np.zeros(len(pts), bool)
+    bad[::17] = True
+    pts[bad] = np.nan
+    t = np.array(t)
+    t[bad[: len(t)]] = np.nan
+    valid = valid & ~bad
+    got_xt2, got_w = deskew_kernel.deskew_tpu(
+        jnp.asarray(pts), jnp.asarray(t), jnp.asarray(valid), frames,
+        x_last.rot, x_last.pos, q_ext, t_ext, interpret=True)
+    assert np.isfinite(np.asarray(got_xt2)).all()
+    assert np.isfinite(np.asarray(got_w)).all()
+    want_xt2, _ = dsk.deskew(jnp.asarray(pts), jnp.asarray(t),
+                             jnp.asarray(valid), frames, x_last, q_ext, t_ext)
+    np.testing.assert_allclose(np.asarray(got_xt2), np.asarray(want_xt2),
+                               rtol=1e-4, atol=2e-4)
