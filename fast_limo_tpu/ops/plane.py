@@ -110,6 +110,19 @@ def fit_planes(nbrs, sq_dists, nbr_valid, *, num_match_points: int,
     invariant to the per-row sign anyway: flipping (n, d) flips both the H
     row and the residual h).
     """
+    from fast_limo_tpu.ops import dispatch
+
+    if dispatch.kernel_enabled("plane") and nbrs.dtype == jnp.float32:
+        # whole fit + gates as ONE Pallas launch (ops/plane_kernel.py);
+        # gated-out rows return zero coefficients there (consumers mask by
+        # ``good``, and zero rows contribute nothing to HᵀH)
+        from fast_limo_tpu.ops import plane_kernel
+
+        return plane_kernel.fit_planes_tpu(
+            nbrs, sq_dists, nbr_valid, num_match_points=num_match_points,
+            max_dist_plane=float(max_dist_plane),
+            plane_threshold=float(plane_threshold))
+
     N, k, _ = nbrs.shape
     n_valid = jnp.sum(nbr_valid, axis=-1)
 
