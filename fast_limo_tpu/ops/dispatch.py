@@ -3,7 +3,7 @@
 Every fused TPU kernel has an identical-semantics jnp fallback; the
 ``FAST_LIMO_NO_PALLAS`` environment variable disables kernels by name
 ("all" or a comma list of {gain, update_body, update_loop, hstats, knn,
-sort, deskew}) — the
+sort, deskew, plane}) — the
 bisection lever for isolating on-device kernel regressions that CPU tests
 (which never run Mosaic-lowered code) cannot see.  Read at trace time: set
 it before constructing the Localizer.
