@@ -79,9 +79,10 @@ def deskew(points, t_pts, valid, frames: Frames, x_last: st.NavState,
     if dispatch.kernel_enabled("deskew") and points.dtype == jnp.float32:
         from fast_limo_tpu.ops import deskew_kernel
 
-        return deskew_kernel.deskew_tpu(
-            points, t_pts, valid, frames, x_last.rot, x_last.pos,
-            q_ext, t_ext)
+        if deskew_kernel._HAS_PALLAS:
+            return deskew_kernel.deskew_tpu(
+                points, t_pts, valid, frames, x_last.rot, x_last.pos,
+                q_ext, t_ext)
 
     ftime = jnp.where(frames.valid, frames.time, jnp.inf)
     idx = jnp.clip(jnp.searchsorted(ftime, t_pts, side="right") - 1, 0, None)

@@ -44,26 +44,12 @@ _T_SENTINEL = 1e30
 
 
 def _cos_sinc_ch(x2):
-    """Channelwise cos/sinc pair (clone of so3._cos_sinc_sqrt semantics)."""
-    eps = jnp.finfo(jnp.float32).eps
-    taylor_bound = float(eps ** 0.25)
-    x2s = jnp.maximum(x2, 0.0)
-    x = jnp.sqrt(x2s)
-    safe_x = jnp.where(x2s >= taylor_bound, x, 1.0)
-    cos_big = jnp.cos(safe_x)
-    sinc_big = jnp.sin(safe_x) / safe_x
-    inv = [1 / 3.0, 1 / 4.0, 1 / 5.0, 1 / 6.0, 1 / 7.0, 1 / 8.0]
-    cosi = jnp.ones_like(x2s)
-    sinc = jnp.ones_like(x2s)
-    term = -0.5 * x2s
-    for i in range(3):
-        cosi = cosi + term
-        term = term * inv[2 * i]
-        sinc = sinc + term
-        term = term * (-inv[2 * i + 1]) * x2s
-    use_big = x2s >= taylor_bound
-    return (jnp.where(use_big, cos_big, cosi),
-            jnp.where(use_big, sinc_big, sinc))
+    """Channelwise cos/sinc pair — so3's MTK implementation is pure
+    elementwise jnp and lowers inside Pallas, so reuse it (a fix to the
+    MTK semantics there must reach this kernel)."""
+    from fast_limo_tpu.ops import so3
+
+    return so3._cos_sinc_sqrt(x2)
 
 
 def _kernel(X_ref, F_ref, sc_ref, out_ref, *, Nr: int, K: int):
@@ -183,8 +169,15 @@ def deskew_tpu(points, t_pts, valid, frames, x_last_rot, x_last_pos,
         chanpad(t_pts), chanpad(valid.astype(f32))])
 
     # frame table: per-frame constants precomputed OUTSIDE (cheap K-sized
-    # math): [T_k, pos3, rot4, vel3, a0_world3(incl grav), w_eff3]
+    # math): [T_k, pos3, rot4, vel3, a0_world3(incl grav), w_eff3].
+    # cummax makes the times monotone: the interval masks assume ascending
+    # frame times, and a REGRESSED IMU stamp (which imu_to_baselink's dt
+    # clamp anticipates) would otherwise satisfy two masks at once and
+    # double-accumulate parameters; with cummax a regressed frame becomes
+    # an empty interval (never selected) — searchsorted on non-monotone
+    # input is undefined anyway, so safety, not parity, is the contract
     T = jnp.where(frames.valid, frames.time, _T_SENTINEL).astype(f32)
+    T = jax.lax.cummax(T)
     w_eff = frames.w - frames.bg
     a0w = so3.quat_rotate(frames.rot, frames.a - frames.ba) + frames.grav
     F = jnp.zeros((K, _FW), f32)

@@ -118,10 +118,11 @@ def fit_planes(nbrs, sq_dists, nbr_valid, *, num_match_points: int,
         # ``good``, and zero rows contribute nothing to HᵀH)
         from fast_limo_tpu.ops import plane_kernel
 
-        return plane_kernel.fit_planes_tpu(
-            nbrs, sq_dists, nbr_valid, num_match_points=num_match_points,
-            max_dist_plane=float(max_dist_plane),
-            plane_threshold=float(plane_threshold))
+        if plane_kernel._HAS_PALLAS:
+            return plane_kernel.fit_planes_tpu(
+                nbrs, sq_dists, nbr_valid, num_match_points=num_match_points,
+                max_dist_plane=float(max_dist_plane),
+                plane_threshold=float(plane_threshold))
 
     N, k, _ = nbrs.shape
     n_valid = jnp.sum(nbr_valid, axis=-1)

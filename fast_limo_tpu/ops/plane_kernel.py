@@ -154,6 +154,13 @@ def _kernel(X_ref, out_ref, *, Nr: int, k: int, num_match_points: int,
     spread_ok = lmid > nw * jnp.float32(plane_threshold * plane_threshold)
     finite = (jnp.abs(ux) < jnp.inf) & (jnp.abs(uy) < jnp.inf) \
         & (jnp.abs(uz) < jnp.inf) & (jnp.abs(d) < jnp.inf)
+    # jnp-oracle parity: the reference path's multiplicative masking lets a
+    # non-finite value in ANY slot (even an invalid one) poison the row's
+    # isfinite gate; the select-masked sums here are immune, so re-impose
+    # the gate explicitly (only observable when num_match_points < k)
+    for j in range(k):
+        finite = finite & (jnp.abs(nx[j]) < jnp.inf) \
+            & (jnp.abs(ny[j]) < jnp.inf) & (jnp.abs(nz[j]) < jnp.inf)
     good = enough & close & okn & res_ok & spread_ok & finite
 
     zero = jnp.zeros_like(cx)

@@ -77,6 +77,26 @@ def test_matches_unpadded_lane_multiple(rng):
     _compare(_case(rng, N=1280))
 
 
+def test_regressed_frame_time_no_double_select(rng):
+    """A regressed IMU stamp (imu_to_baselink's dt clamp anticipates them)
+    must not let a point satisfy two interval masks and double-accumulate
+    frame parameters: the kernel cummax-es the times, making the regressed
+    frame an empty interval — equal to the jnp path on cummax'd times."""
+    pts, t, valid, frames, x_last, q_ext, t_ext = _case(rng, N=512, K=17)
+    times = np.array(frames.time)
+    times[5] = times[2] - 0.005        # regression mid-buffer
+    frames_bad = frames._replace(time=jnp.asarray(times))
+    got_xt2, _ = deskew_kernel.deskew_tpu(
+        pts, t, valid, frames_bad, x_last.rot, x_last.pos, q_ext, t_ext,
+        interpret=True)
+    assert np.isfinite(np.asarray(got_xt2)).all()
+    frames_mono = frames._replace(
+        time=jnp.asarray(np.maximum.accumulate(times)))
+    want_xt2, _ = dsk.deskew(pts, t, valid, frames_mono, x_last, q_ext, t_ext)
+    np.testing.assert_allclose(np.asarray(got_xt2), np.asarray(want_xt2),
+                               rtol=1e-4, atol=2e-4)
+
+
 def test_nan_inputs_on_invalid_lanes_stay_masked(rng):
     """Raw sensor NaN points are masked invalid (not removed) by
     preprocess; the kernel must not leak NaN through its masking."""
