@@ -78,10 +78,11 @@ def kitti_like_cfg() -> Config:
     cfg.ikfom.estimate_extrinsics = True
     cfg.tpu.max_points_per_scan = 32768
     cfg.tpu.map_capacity = 2 ** 17
-    # geometry swept on-device (tools/sweep_geometry.py): the nearest-corner
-    # 2³ neighborhood over 1.2 m voxels with 6-point buckets covers a 0.6 m
-    # guaranteed kNN radius from 48 candidates — ATE parity with the
-    # 27×(0.8 m,3) full cube at ~1.4× the scan throughput.
+    # geometry swept on-device (tools/sweep_geometry.py, round 2): 1.2 m
+    # voxels with 6-point buckets.  Since the block-addressed map (round 4)
+    # every config gets the EXACT 27-cube coverage (voxel_size guaranteed
+    # kNN radius) from 8 gathered block rows — the old 4/8/27 neighborhood
+    # knob is a no-op.
     cfg.tpu.map_voxel_size = 1.2
     cfg.tpu.map_points_per_voxel = 6
     cfg.tpu.imu_batch = 32
@@ -91,7 +92,6 @@ def kitti_like_cfg() -> Config:
     # iteration (pose moves millimetrically between iterations; ATE parity
     # verified on the synthetic benchmark — see tpu.knn_refresh docs)
     cfg.tpu.knn_refresh = "first"
-    cfg.tpu.knn_neighborhood = 4
     # int16 host→device scan payload (4 mm LSB — below lidar noise; ATE
     # verified unchanged): halves the per-scan transfer on the tunnel
     # (measured 66 → 98 scans/s on the tunneled v5e)
@@ -105,11 +105,12 @@ def kitti_like_cfg() -> Config:
 
 
 def exact_cfg() -> Config:
-    """Reference-exact knob set: re-match every iteration over the full
-    27-voxel cube (Mapper.cpp:59-114 semantics), full-precision transfer."""
+    """Reference-exact knob set: re-match every iteration (h_share_model
+    re-matches unconditionally, use-ikfom.cpp:10-31), full-precision
+    transfer.  Coverage is identical to the fast set since round 4 (the
+    block map gives every config the 27-cube guarantee)."""
     cfg = kitti_like_cfg()
     cfg.tpu.knn_refresh = "always"
-    cfg.tpu.knn_neighborhood = 27
     cfg.tpu.quantize_transfer = 0.0
     return cfg
 
@@ -117,8 +118,8 @@ def exact_cfg() -> Config:
 def make_seq(scene: str, seed: int, n_scans: int):
     """benign = the dense bench corridor; adversarial = sparse geometry
     (5× fewer surface points) + aggressive yaw (~90°/s peak) — the scene
-    class that stresses the 4-voxel neighborhood's missing coverage
-    guarantee (mapper.py gather docs)."""
+    class that historically stressed the (now-retired) reduced-coverage
+    neighborhood knobs; kept as the sparse/high-rate stress band."""
     from fast_limo_tpu.io import synthetic as syn
 
     if scene == "adversarial":

@@ -60,6 +60,7 @@ def _dump_debug(args, slam):
         match_keep=pick(dbg.match_keep),
         match_dist=pick(dbg.match_dist),
         gersh_min=pick(dbg.gersh_min),
+        min_eig=pick(dbg.min_eig),
         guard_fired=pick(dbg.guard_fired),
         pos=pick(out.pos), quat=pick(out.quat))
     print(f"debug scan → {path}")
@@ -174,8 +175,11 @@ def cmd_kitti(args):
     from fast_limo_tpu.utils import evaluation
 
     cfg, slam = _build(args)
+    feed, ing = _feeder(args, slam)      # honor --async like the other cmds
     drive = kitti.KittiDrive(args.drive)
-    kitti.run_drive(slam, drive, n_scans=args.scans)
+    kitti.run_drive(feed, drive, n_scans=args.scans)
+    if ing is not None:
+        ing.close()
     print(slam.loc.board())
     if args.out:
         traj = slam.trajectory

@@ -227,6 +227,11 @@ def _degeneracy_guard(HTH, dx_, D):
     test oracle implement it.  The reference's near-singular fallback
     (prod(w) < 1e-20 → V = I: zero components by ascending-eigenvalue
     index) is kept as-is.
+
+    Returns ``(guarded_dx (N,), min_eig ())`` — min_eig is the exact
+    smallest pose-block eigenvalue when the eigh ran, +inf when the
+    Gershgorin certificate skipped it (then min_eig ≥ D is known, so
+    guard_fired = min_eig < D stays correct either way).
     """
     dtype = dx_.dtype
     H6 = HTH[0:6, 0:6]
@@ -241,10 +246,12 @@ def _degeneracy_guard(HTH, dx_, D):
         m = (wr >= D).astype(dtype)
         proj = (Vr * m[None, :]) @ Vr.T @ dx6    # V·diag(m)·Vᵀ·dx
         use_I = jnp.prod(wr) < 1e-20
-        return jnp.where(use_I, m * dx6, proj)
+        return jnp.where(use_I, m * dx6, proj), jnp.min(wr).astype(dtype)
 
-    head = jax.lax.cond(gersh_min >= D, lambda dx6: dx6, exact, dx_[0:6])
-    return dx_.at[0:6].set(head)
+    head, min_eig = jax.lax.cond(
+        gersh_min >= D,
+        lambda dx6: (dx6, jnp.asarray(jnp.inf, dtype)), exact, dx_[0:6])
+    return dx_.at[0:6].set(head), min_eig
 
 
 def _final_P(x: st.NavState, x_prop: st.NavState, dx_, P, K_x, K, R):
@@ -311,12 +318,12 @@ def _body_jnp(x: st.NavState, x_prop: st.NavState, P_prop, HTH, HTh, R, D):
     K_h = K_h.astype(dtype)
 
     dx_ = K_h + (K_x - jnp.eye(N, dtype=dtype)) @ dx_new
-    dx_guarded = _degeneracy_guard(HTH, dx_, D)
+    dx_guarded, min_eig = _degeneracy_guard(HTH, dx_, D)
 
     x_next = st.boxplus(x, dx_guarded)
     P_fin = _final_P(x_next, x_prop, dx_, P_it, K_x12.astype(dtype),
                      K.astype(dtype), R)
-    return x_next, P_fin, dx_
+    return x_next, P_fin, dx_, min_eig
 
 
 def update_iterated(
@@ -347,12 +354,15 @@ def update_iterated(
     the ENTIRE loop collapses to one launch (ops/update_loop.py).
 
     Returns (x', P', n_iters); with ``with_diag=True`` additionally a dict
-    ``{"gersh_min": (), "guard_fired": ()}`` — the minimum Gershgorin lower
-    bound on the 6×6 pose block of HᵀH across iterations and whether the
-    degeneracy guard's exact branch engaged (gersh_min < D).  The
-    telemetry behind DebugOutput's degeneracy fields (the reference prints
-    nothing when its guard zeroes directions, esekfom.hpp:1736-1744 —
-    drift in degenerate corridors is otherwise undiagnosable).
+    ``{"gersh_min": (), "min_eig": (), "guard_fired": ()}`` — the minimum
+    Gershgorin lower bound on the 6×6 pose block of HᵀH across iterations
+    (conditioning telemetry), the exact minimum pose-block eigenvalue
+    (+inf when a Gershgorin certificate skipped the off-TPU eigh), and
+    whether the degeneracy guard actually zeroed directions
+    (min_eig < D).  The telemetry behind DebugOutput's degeneracy fields
+    (the reference prints nothing when its guard zeroes directions,
+    esekfom.hpp:1736-1744 — drift in degenerate corridors is otherwise
+    undiagnosable).
     """
     dtype = x.pos.dtype
     x_prop, P_prop = x, P
@@ -388,13 +398,14 @@ def update_iterated(
             # no certificate, no fallback branch (the old Gershgorin
             # certificate never held on real bench geometry, so every
             # iteration silently paid the jnp eigh path)
-            x_next, P_fin, dx_, gm = update_body.update_body_tpu(
+            x_next, P_fin, dx_, gm, me = update_body.update_body_tpu(
                 HTH, HTh, P_prop, x, x_prop, R, D)
         else:
             H6 = HTH[0:6, 0:6]
             hd = jnp.diagonal(H6)
             gm = jnp.min(hd - (jnp.sum(jnp.abs(H6), axis=1) - jnp.abs(hd)))
-            x_next, P_fin, dx_ = _body_jnp(x, x_prop, P_prop, HTH, HTh, R, D)
+            x_next, P_fin, dx_, me = _body_jnp(x, x_prop, P_prop, HTH, HTh,
+                                               R, D)
 
         converged = jnp.all(jnp.abs(dx_) <= limit)
         t_next = carry["t"] + converged.astype(jnp.int32)
@@ -410,6 +421,7 @@ def update_iterated(
             "i": i + 1,
             "done": done,
             "g": jnp.minimum(carry["g"], gm.astype(dtype)),
+            "me": jnp.minimum(carry["me"], me.astype(dtype)),
         }
 
     carry0 = {
@@ -419,6 +431,7 @@ def update_iterated(
         "i": jnp.asarray(-1, jnp.int32),  # reference loop runs i = -1 … max-1
         "done": jnp.asarray(False),
         "g": jnp.asarray(jnp.inf, dtype),
+        "me": jnp.asarray(jnp.inf, dtype),
     }
     if unroll is None:
         unroll = max_iters <= 8
@@ -447,25 +460,29 @@ def update_iterated(
                     "i": jnp.where(was_done, carry["i"], new["i"]),
                     "done": was_done | new["done"],
                     "g": jnp.where(was_done, carry["g"], new["g"]),
+                    "me": jnp.where(was_done, carry["me"], new["me"]),
                 }
             out = carry
         else:
             out = jax.lax.while_loop(cond, body, carry0)
-        return out["x"], out["P"], out["i"] + 1, out["g"]
+        return out["x"], out["P"], out["i"] + 1, out["g"], out["me"]
+
+    def diag(g_o, me_o):
+        return {"gersh_min": g_o, "min_eig": me_o, "guard_fired": me_o < D}
 
     if not use_loop_kernel:
-        x_o, P_o, n_o, g_o = run_loop()
+        x_o, P_o, n_o, g_o, me_o = run_loop()
         if with_diag:
-            return x_o, P_o, n_o, {"gersh_min": g_o, "guard_fired": g_o < D}
+            return x_o, P_o, n_o, diag(g_o, me_o)
         return x_o, P_o, n_o
 
     from fast_limo_tpu.ops import update_loop
 
-    xk, Pk, nit_k, ok, g_k = update_loop.update_loop_tpu(
+    xk, Pk, nit_k, ok, g_k, me_k = update_loop.update_loop_tpu(
         loop_pack, P_prop, x_prop, R, D, limit, max_iters=max_iters,
         estimate_extrinsics=h_model.loop_extrinsics)
-    x_o, P_o, n_o, g_o = jax.lax.cond(
-        ok, lambda: (xk, Pk, nit_k, g_k), run_loop)
+    x_o, P_o, n_o, g_o, me_o = jax.lax.cond(
+        ok, lambda: (xk, Pk, nit_k, g_k, me_k), run_loop)
     if with_diag:
-        return x_o, P_o, n_o, {"gersh_min": g_o, "guard_fired": g_o < D}
+        return x_o, P_o, n_o, diag(g_o, me_o)
     return x_o, P_o, n_o

@@ -2,50 +2,60 @@
 incremental octree (`include/fast_limo/Objects/Octree.hpp`).
 
 The octree's pointer-chasing kNN cannot map to TPU; instead the map is a
-fixed-capacity **bucketized** hash table of voxel entries, laid out so the
-entire lookup is ONE wide-row gather and the entire insert is ONE gather +
-ONE scatter:
+fixed-capacity **block-addressed** hash table of voxel entries, laid out so
+the entire lookup is ONE wide-row gather and the entire insert is ONE gather
++ ONE scatter:
 
-* groups of ``E = 8`` entries share one hash slot ("group");
+* the hash key is the 2×2×2-voxel **block** coordinate (``vc >> 1``), and a
+  hash group holds ``ROW_E = 16`` voxel entries shared by every block that
+  hashes there (free-entry election, exactly like a set-associative cache
+  with fully-flexible ways);
 * the same data lives in TWO mirrored group-row layouts (see the
-  VoxelHashMap docstring): ``table`` is entry-major — E contiguous ENTRY
-  blocks of width ``EW = 4 + 4B`` (``W = E·EW``)::
+  VoxelHashMap docstring): ``table`` is entry-major — ROW_E contiguous ENTRY
+  blocks of width ``EW = 4 + 4B`` (``W = ROW_E·EW``)::
 
       [ entry0: (vx,vy,vz as exact f32, count f32, B×4 points) | entry1 … ]
 
   so an insert writes ONE entry-block row per distinct voxel in the batch —
-  meta and all merged bucket points together — in the flat ``(G·E, EW)``
+  meta and all merged bucket points together — in the flat ``(G·ROW_E, EW)``
   view: a single scatter with one index per input point (only voxel-run
-  leaders actually land); and ``ptable`` is planar —
-  ``[vx×E | vy×E | vz×E | cnt×E | x slot-major E·B | y | z]`` — so the kNN
-  lookup gathers whole planar rows and decodes them with contiguous lane
-  slices (one extra delta scatter-ADD keeps it exact).
+  leaders actually land); and ``ptable`` is the planar mirror the kNN
+  lookup decodes with contiguous lane slices.
+
+Why block addressing: the 27-voxel cube the reference's kNN must cover
+(Octree.hpp:527-598) spans exactly TWO consecutive 2-voxel blocks per axis,
+so EIGHT gathered group rows give full 27-cube coverage — in fact the whole
+4³-voxel superset around the query — versus 27 rows when voxels hash
+individually.  Every gathered entry is a spatial neighbor (useful payload),
+where a voxel-hashed group spends 7/8 of its row on hash-arbitrary voxels.
+This retires the round-1..3 ``knn_neighborhood`` speed/accuracy knob: the
+exact path IS the fast path (the 4/8/27 values are accepted and ignored).
 
 Why: on TPU, gather/scatter cost is per *operation* + per *row* and nearly
-independent of row width (measured v5e: ~0.7 ms fixed + ~18 ns/row gather /
-~50 ns/row scatter for 16 B–896 B rows — `tools/bench_gather2.py`,
-`tools/bench_scatter.py`).  The previous designs (linear probing with
-separate meta/points tables; then meta-major fused rows with per-point
-rows-of-4 scatter) issued more gathers and 2N scatter rows; this layout
-issues exactly one gather and N scatter rows.  Collision handling is the
-E-way group: a voxel lives in exactly one group, and a group overflowing E
-distinct voxels simply rejects newcomers (analogous to the octree's bounded
-leaves, Octree.hpp:399-405; with default sizing the overflow probability
-per voxel is <1e-4).
+independent of row width (measured v5e: `tools/bench_gather2.py`,
+`tools/bench_blockrows.py`).  Collision handling is soft: a group
+overflowing ROW_E distinct voxels (i.e. the blocks hashing there hold more
+than 16 occupied voxels TOTAL — surfaces occupy ~4 of a block's 8 voxels,
+so one group comfortably fits two colliding blocks) rejects newcomers,
+analogous to the octree's bounded leaves (Octree.hpp:399-405).  At the
+bench shapes the measured overflow is ~1e-4 of voxels
+(`tools/probe_block_occupancy.py`).
 
 The per-entry capacity B mirrors the octree's leaf-level downsampling rule —
 a full bucket rejects new points (Octree.hpp:399-405) — and the voxel edge
 defaults to ``2*min_extent`` (the finest octree leaf is in
 ``(min_extent, 2*min_extent]``, Octree.hpp:310,385).
 
-kNN = gather the neighbor voxels of each query, mask, and take the k
-smallest squared distances (Octree.hpp:527-598 contract: ascending
-sq-dists).  It is split into `gather_neighborhood` (group gather + entry
-match — depends only on the query VOXELS) and `topk_from_candidates`
-(distances + top-k) so the iterated update can hoist the expensive gather
-out of its re-match loop.
+kNN = gather the 8 neighbor-block rows of each query, keep every entry whose
+stored voxel lies in a wanted block, and take the k smallest squared
+distances (Octree.hpp:527-598 contract: ascending sq-dists; coverage
+guarantee radius = ``voxel_size``, same as the 27-cube, from a 4³ superset).
+It is split into `gather_rows` (block-row gather — depends only on the
+query VOXELS) and `topk_from_candidates` / the fused kernel
+(ops/knn_rows.py) so the iterated update can hoist the gather out of its
+re-match loop.
 
-Sharded mode (num_shards > 1): a voxel's owner device is the high bits of
+Sharded mode (num_shards > 1): a block's owner device is the high bits of
 its global group hash; groups are device-local by construction.
 """
 
@@ -57,17 +67,20 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-E = 8  # entries per hash group (module constant; lookup is E-way associative)
+E = 8        # entries per PLANAR subgroup (planarize / kernel decode unit)
+SUB = 2      # planar subgroups per hash-group row
+ROW_E = E * SUB  # voxel entries per hash group (free-election associativity)
 
-_NEIGHBOR_OFFSETS = jnp.array(
-    [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
-    dtype=jnp.int32,
-)  # (27, 3)
-
-_CORNER_COMBOS = jnp.array(
+_BLOCK_CORNERS = jnp.array(
     [[dx, dy, dz] for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
     dtype=jnp.int32,
 )  # (8, 3)
+
+_BLOCK_OFFSETS27 = jnp.array(
+    [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+    dtype=jnp.int32,
+)  # (27, 3) — wide neighborhood for radius_search (radius ≤ 2·voxel_size)
+
 
 def _entry_width(bucket: int) -> int:
     """Entry block: [vx, vy, vz, count | B points padded to 4 lanes]."""
@@ -75,32 +88,36 @@ def _entry_width(bucket: int) -> int:
 
 
 def _row_width(bucket: int) -> int:
-    return E * _entry_width(bucket)
+    return ROW_E * _entry_width(bucket)
 
 
-def _planar_width(bucket: int) -> int:
-    """Planar group row: [vx×E | vy×E | vz×E | cnt×E | x slot-major E·B | y | z]."""
+def _sub_width(bucket: int) -> int:
+    """Planar SUBGROUP row: [vx×E | vy×E | vz×E | cnt×E | x slot-major E·B | y | z]."""
     return 4 * E + 3 * E * bucket
 
 
-class VoxelHashMap(NamedTuple):
-    """Twin-layout voxel-hash map.
+def _planar_width(bucket: int) -> int:
+    return SUB * _sub_width(bucket)
 
-    ``table`` is ENTRY-MAJOR (E contiguous entry blocks per group row) — the
-    layout inserts want: one voxel's whole update is one contiguous row in
-    the flat (G·E, EW) view, so the insert is a single row scatter with no
-    write collisions between voxels of one group.
+
+class VoxelHashMap(NamedTuple):
+    """Twin-layout block-addressed voxel-hash map.
+
+    ``table`` is ENTRY-MAJOR (ROW_E contiguous entry blocks per group row) —
+    the layout inserts want: one voxel's whole update is one contiguous row
+    in the flat (G·ROW_E, EW) view, so the insert is a single row scatter
+    with no write collisions between voxels of one group.
 
     ``ptable`` is the PLANAR mirror of the same data — the layout kNN wants:
-    per group, the E voxel coords / counts / per-slot point coordinates each
-    occupy contiguous lane planes, so the lookup kernel (ops/knn_rows.py)
-    decodes a gathered row with static contiguous slices (entry-major rows
-    need either per-lane register columns, which blow the VMEM stack, or
-    one-hot selector matmuls, which burn ~1 ms of f32 MXU per scan —
-    both measured).  Insert keeps it exactly consistent with one extra
-    scatter-ADD of per-entry deltas (new − old lane values): adds from
-    different voxels of one group commute, so group-level collisions are
-    exact, and integer-valued coord/count lanes stay exact in f32.
+    per planar subgroup of E entries, the voxel coords / counts / per-slot
+    point coordinates each occupy contiguous lane planes, so the lookup
+    kernel (ops/knn_rows.py) decodes a gathered row with static contiguous
+    slices (entry-major rows need either per-lane register columns, which
+    blow the VMEM stack, or one-hot selector matmuls, which burn ~1 ms of
+    f32 MXU per scan — both measured).  The row's ROW_E entries are split
+    into SUB=2 planar subgroups so the planarize permutation stays the same
+    (E·EW → sub_width) matmul as the voxel-hashed design, applied at
+    (G·SUB) rows.
     """
 
     table: jnp.ndarray       # (G, W) float32 entry-major rows
@@ -114,46 +131,50 @@ class VoxelHashMap(NamedTuple):
 
     @property
     def bucket(self):
-        return (self.table.shape[1] // E - 4) // 4
+        return (self.table.shape[1] // ROW_E - 4) // 4
 
     @property
     def capacity(self):
-        """Total entry count (the public 'slots' knob = G·E)."""
-        return self.groups * E
+        """Total entry count (the public 'slots' knob = G·ROW_E)."""
+        return self.groups * ROW_E
 
     @property
     def _entries(self):
-        """(G·E, EW) flat entry-block view."""
-        return self.table.reshape(self.groups * E, _entry_width(self.bucket))
+        """(G·ROW_E, EW) flat entry-block view."""
+        return self.table.reshape(self.groups * ROW_E, _entry_width(self.bucket))
 
     @property
     def coords(self):
-        """(G·E, 3) int32 voxel coords per entry (garbage where count==0)."""
+        """(G·ROW_E, 3) int32 voxel coords per entry (garbage where count==0)."""
         return self._entries[:, :3].astype(jnp.int32)
 
     @property
     def counts(self):
-        """(G·E,) int32 stored-point count per entry (0 = free)."""
+        """(G·ROW_E,) int32 stored-point count per entry (0 = free)."""
         return self._entries[:, 3].astype(jnp.int32)
 
     @property
     def points(self):
-        """(G·E, B, 3) stored points per entry."""
-        return self._entries[:, 4:].reshape(self.groups * E, self.bucket, 4)[:, :, :3]
+        """(G·ROW_E, B, 3) stored points per entry."""
+        return self._entries[:, 4:].reshape(
+            self.groups * ROW_E, self.bucket, 4)[:, :, :3]
 
     @property
     def meta(self):
-        """(G·E, 4) int32 [vx, vy, vz, count] compatibility view."""
+        """(G·ROW_E, 4) int32 [vx, vy, vz, count] compatibility view."""
         return jnp.concatenate([self.coords, self.counts[:, None]], axis=1)
 
 
 def create(capacity: int, bucket: int, dtype=jnp.float32) -> VoxelHashMap:
     assert capacity & (capacity - 1) == 0, "capacity must be a power of two"
-    assert capacity >= E
+    assert capacity >= ROW_E
+    # the fused f32 permute round-trips group ids through float32 — exact
+    # only below 2^24 (ADVICE r3: enforce, don't just document)
+    assert capacity // ROW_E <= 1 << 24, "group ids must be f32-exact"
     del dtype  # fused table is always f32 (integer coords are exact in f32)
     return VoxelHashMap(
-        table=jnp.zeros((capacity // E, _row_width(bucket)), jnp.float32),
-        ptable=jnp.zeros((capacity // E, _planar_width(bucket)), jnp.float32),
+        table=jnp.zeros((capacity // ROW_E, _row_width(bucket)), jnp.float32),
+        ptable=jnp.zeros((capacity // ROW_E, _planar_width(bucket)), jnp.float32),
         num_points=jnp.asarray(0, jnp.int32),
         last_time=jnp.asarray(-1.0, jnp.float32),
     )
@@ -162,18 +183,20 @@ def create(capacity: int, bucket: int, dtype=jnp.float32) -> VoxelHashMap:
 def _planarize(table, bucket: int):
     """Rebuild the planar mirror from the entry-major table.
 
-    A pure lane permutation per group row, done as ONE one-hot matmul
-    (G,W)·(W,WP) on the MXU — ~0.06 ms for the default 8k×224 table, exact
-    (each output lane is a single 1.0·value MAC), scatter-free, and immune
-    to the write-collision / stale-lane subtleties an incremental mirror
-    would have.  Runs once per insert batch.
+    A pure lane permutation per planar subgroup, done as ONE one-hot matmul
+    (G·SUB, E·EW)·(E·EW, sub_width) on the MXU — exact (each output lane is
+    a single 1.0·value MAC), scatter-free, and immune to the
+    write-collision / stale-lane subtleties an incremental mirror would
+    have.  Runs once per insert batch; cost is O(G), ~0.12 ms at the bench
+    table (2^13 groups × 448 lanes).
     """
     B = bucket
     EW = _entry_width(B)
-    W = E * EW
-    WP = _planar_width(B)
-    r = jax.lax.broadcasted_iota(jnp.int32, (W, WP), 0)
-    t = jax.lax.broadcasted_iota(jnp.int32, (W, WP), 1)
+    W0 = E * EW
+    WP0 = _sub_width(B)
+    G = table.shape[0]
+    r = jax.lax.broadcasted_iota(jnp.int32, (W0, WP0), 0)
+    t = jax.lax.broadcasted_iota(jnp.int32, (W0, WP0), 1)
     # planar lane t → entry-major lane src(t)
     plane = t // E                 # 0..3 meta planes, then coordinate planes
     e_of_t = t % E
@@ -184,13 +207,15 @@ def _planarize(table, bucket: int):
     e2_of_t = pt % E
     pt_src = e2_of_t * EW + 4 + 4 * s_of_t + c_of_t
     src = jnp.where(t < 4 * E, meta_src, pt_src)
-    P = (r == src).astype(jnp.float32)                   # (W, WP) one-hot
-    return jax.lax.dot_general(table, P, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+    P = (r == src).astype(jnp.float32)                   # (W0, WP0) one-hot
+    sub = jax.lax.dot_general(table.reshape(G * SUB, W0), P,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return sub.reshape(G, SUB * WP0)
 
 
 def _hash(coords, groups: int):
-    """Spatial hash of integer voxel coords → group in [0, groups)."""
+    """Spatial hash of integer BLOCK coords → group in [0, groups)."""
     h = (
         coords[..., 0] * jnp.int32(73856093)
         ^ coords[..., 1] * jnp.int32(19349669)
@@ -203,6 +228,11 @@ def voxel_coords(pts, voxel_size: float):
     return jnp.floor(pts / voxel_size).astype(jnp.int32)
 
 
+def block_coords(vc):
+    """2×2×2-voxel block coordinate (arithmetic shift = floor for int32)."""
+    return vc >> 1
+
+
 def _shard_split(h_full, groups, num_shards, shard_index):
     owner = h_full // jnp.int32(groups)
     local = (h_full % jnp.int32(groups)).astype(jnp.int32)
@@ -210,17 +240,17 @@ def _shard_split(h_full, groups, num_shards, shard_index):
 
 
 def _group_rows(m: VoxelHashMap, g, nc):
-    """Gather full group rows and resolve ``nc`` against the E entries.
+    """Gather full group rows and resolve ``nc`` against the ROW_E entries.
 
     g (...,) group ids, nc (...,3) voxel coords →
-    (entries (...,E,EW), match (...,E) bool, counts (...,E) f32) from ONE
-    row gather.  Gathers FULL rows and slices in-register: a mixed-index
-    sub-row gather lowers to a pathological per-element path (~10× slower,
-    measured on v5e — tools/bench_insert.py).
+    (entries (...,ROW_E,EW), match (...,ROW_E) bool, counts (...,ROW_E) f32)
+    from ONE row gather.  Gathers FULL rows and slices in-register: a mixed-
+    index sub-row gather lowers to a pathological per-element path (~10×
+    slower, measured on v5e — tools/bench_insert.py).
     """
-    ent = m.table[g].reshape(*g.shape, E, _entry_width(m.bucket))
-    coords = ent[..., :3]                                    # (...,E,3) f32 values
-    counts = ent[..., 3]                                     # (...,E) f32
+    ent = m.table[g].reshape(*g.shape, ROW_E, _entry_width(m.bucket))
+    coords = ent[..., :3]                                # (...,ROW_E,3) f32
+    counts = ent[..., 3]                                 # (...,ROW_E) f32
     match = (counts > 0) & jnp.all(
         coords == nc[..., None, :].astype(jnp.float32), axis=-1)
     return ent, match, counts
@@ -251,14 +281,15 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 0,
     """Insert a masked batch of world-frame points (Mapper::add / Octree::update).
 
     One full-row gather + ONE entry-block scatter: points of the same voxel
-    are grouped by a sort, matched against their hash group's E entries, and
-    new voxels are assigned distinct free entries by rank election.  Each
-    voxel run's LEADER (first point) writes the whole entry block — coords,
-    final count, and the merged bucket (existing points ∪ the run's new
-    points, capacity-capped) — so the scatter has exactly N indices, one per
-    input point, with only leaders landing.  A group whose E entries are all
-    taken rejects further voxels (see module docstring); a full entry
-    rejects further points (octree leaf downsampling, Octree.hpp:399-405).
+    are grouped by a sort, matched against their BLOCK's hash group's ROW_E
+    entries, and new voxels are assigned distinct free entries by rank
+    election.  Each voxel run's LEADER (first point) writes the whole entry
+    block — coords, final count, and the merged bucket (existing points ∪
+    the run's new points, capacity-capped) — so the scatter has exactly N
+    indices, one per input point, with only leaders landing.  A group whose
+    ROW_E entries are all taken rejects further voxels (see module
+    docstring); a full entry rejects further points (octree leaf
+    downsampling, Octree.hpp:399-405).
 
     ``probes`` is accepted for API compatibility and ignored (the fused
     layout has no probe chains).
@@ -268,16 +299,16 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 0,
     B = m.bucket
     EW = _entry_width(B)
     N = pts.shape[0]
-    idxs = jnp.arange(N)
 
     pts = pts.astype(jnp.float32)
     vc0 = voxel_coords(pts, voxel_size)                      # (N,3)
+    bc0 = block_coords(vc0)
     if num_shards > 1:
-        owned, g0 = _shard_split(_hash(vc0, G * num_shards),
+        owned, g0 = _shard_split(_hash(bc0, G * num_shards),
                                  G, num_shards, shard_index)
         valid = valid & owned
     else:
-        g0 = _hash(vc0, G)
+        g0 = _hash(bc0, G)
 
     # ---- group-major sort: points of one voxel contiguous, voxels of one
     # hash group contiguous (invalids last); EVERYTHING below runs in the
@@ -299,7 +330,8 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 0,
     # per-ROW, width-independent, and five separate [order] gathers were
     # ~0.2 ms each (the dominant insert cost after the resolve gather —
     # tools/profile_insert_stages.py).  All packed lanes are exactly
-    # representable in f32 (|voxel coord| < 2²⁴, g0 < G, valid ∈ {0,1}).
+    # representable in f32 (|voxel coord| < 2²⁴, g0 < G ≤ 2²⁴ asserted in
+    # create(), valid ∈ {0,1}).
     fused = jnp.concatenate(
         [vc0.astype(jnp.float32), pts,
          g0.astype(jnp.float32)[:, None],
@@ -313,11 +345,11 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 0,
                     jnp.int32(0x7FFFFFFF))
 
     # ---- resolve each point's voxel against its group (pre-insert state) ----
-    ent, match_e, counts_e = _group_rows(m, g, vc)           # (N,E,EW),(N,E)
+    ent, match_e, counts_e = _group_rows(m, g, vc)        # (N,ROW_E,EW),(N,ROW_E)
     has_match = jnp.any(match_e, axis=-1)
     entry_m = jnp.argmax(match_e, axis=-1).astype(jnp.int32)
     base_m = jnp.sum(jnp.where(match_e, counts_e, 0.0), axis=-1).astype(jnp.int32)
-    free_e = counts_e == 0                                   # (N,E)
+    free_e = counts_e == 0                                   # (N,ROW_E)
 
     # voxel-run structure: same_voxel marks continuation points
     same_voxel = jnp.concatenate(
@@ -333,7 +365,7 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 0,
 
     # ---- free-entry election: new voxel with group-rank r takes the
     # (r+1)-th free entry of its group ----
-    freecum = jnp.cumsum(free_e.astype(jnp.int32), axis=-1)  # (N,E)
+    freecum = jnp.cumsum(free_e.astype(jnp.int32), axis=-1)  # (N,ROW_E)
     want = free_e & (freecum == (r_new + 1)[:, None])
     assigned = jnp.any(want, axis=-1)
     entry_n = jnp.argmax(want, axis=-1).astype(jnp.int32)
@@ -380,13 +412,13 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 0,
     # f32 ops — denormal flush / NaN canonicalization, measured on both
     # CPU and TPU backends) ----
     writer = is_leader & resolved
-    erow = jnp.where(writer, g * E + entry, G * E)           # OOB drops
+    erow = jnp.where(writer, g * ROW_E + entry, G * ROW_E)   # OOB drops
     evals = jnp.concatenate(
         [vc.astype(jnp.float32), final_count[:, None],
          merged.reshape(N, 4 * B)], axis=1)                  # (N,EW)
-    flatE = m.table.reshape(G * E, EW)
+    flatE = m.table.reshape(G * ROW_E, EW)
     flatE = flatE.at[erow].set(evals, mode="drop")
-    table = flatE.reshape(G, E * EW)
+    table = flatE.reshape(G, ROW_E * EW)
 
     # dtype pinned: under x64 jnp.sum would promote the int32 count to int64
     total = jnp.sum(jnp.where(writer, n_placed, 0), dtype=jnp.int32)
@@ -399,70 +431,75 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 0,
 # ---------------------------------------------------------------------------
 
 def gather_rows(m: VoxelHashMap, queries, *, voxel_size: float,
-                num_shards: int = 1, shard_index=0, neighborhood: int = 27):
-    """The raw kNN gather: neighbor voxel coords + their full group rows.
+                num_shards: int = 1, shard_index=0, neighborhood: int = 8):
+    """The raw kNN gather: neighbor BLOCK coords + their full group rows.
 
-    Returns ``(rows (N,V,W) f32, nc (N,V,3) int32, owned (N,V) bool|None)``.
-    This is the only HBM-heavy part of the lookup (per-row gather cost);
-    entry matching / distances / top-k run either fused in one Pallas kernel
-    (ops/knn_rows.py, TPU) or via the jnp chain (``cands_from_rows``).
+    Returns ``(rows (N,V,WP) f32, ncb (N,V,3) int32 block coords,
+    owned (N,V) bool|None)``.  This is the only HBM-heavy part of the
+    lookup (per-row gather cost); block matching / distances / top-k run
+    either fused in one Pallas kernel (ops/knn_rows.py, TPU) or via the
+    jnp chain (``cands_from_rows``).
+
+    ``neighborhood``: values 4/8/27 — the retired voxel-hashed knobs — all
+    resolve to the exact 8-block gather (full 27-voxel-cube coverage; the
+    knob split is a documented no-op since round 4).  The private value -27
+    gathers the WIDE 27-block neighborhood (coverage radius 2·voxel_size)
+    for `radius_search`.
     """
-    assert neighborhood in (4, 8, 27)
+    assert neighborhood in (4, 8, 27, -27)
     G = m.groups
     qc = voxel_coords(queries, voxel_size)                     # (N,3)
-    if neighborhood == 27:
-        nc = qc[:, None, :] + _NEIGHBOR_OFFSETS[None, :, :]    # (N,27,3)
+    if neighborhood == -27:
+        qb = block_coords(qc)
+        ncb = qb[:, None, :] + _BLOCK_OFFSETS27[None, :, :]    # (N,27,3)
     else:
-        # offset 0 or ±1 per axis, toward the query's nearest corner
-        frac = queries / voxel_size - qc.astype(queries.dtype)   # [0,1)
-        step = jnp.where(frac >= 0.5, 1, -1).astype(jnp.int32)   # (N,3)
-        if neighborhood == 8:
-            combos = _CORNER_COMBOS
-        else:  # 4: self + the 3 face neighbors toward the nearest corner
-            combos = jnp.concatenate(
-                [jnp.zeros((1, 3), jnp.int32), jnp.eye(3, dtype=jnp.int32)])
-        nc = qc[:, None, :] + combos[None, :, :] * step[:, None, :]
+        # base block b0 = floor((v-1)/2): blocks {b0, b0+1} per axis span
+        # voxels [2·b0, 2·b0+3] ⊇ the 27-cube [v-1, v+1]
+        b0 = (qc - 1) >> 1
+        ncb = b0[:, None, :] + _BLOCK_CORNERS[None, :, :]      # (N,8,3)
     if num_shards > 1:
-        owned, g = _shard_split(_hash(nc, G * num_shards),
+        owned, g = _shard_split(_hash(ncb, G * num_shards),
                                 G, num_shards, shard_index)
     else:
         owned = None
-        g = _hash(nc, G)
+        g = _hash(ncb, G)
     rows = m.ptable[g]                                         # (N,V,WP) — THE gather
-    return rows, nc, owned
+    return rows, ncb, owned
 
 
-def cands_from_rows(rows, nc, owned, bucket: int):
-    """jnp entry-match + bucket extraction from PLANAR rows.
+def cands_from_rows(rows, ncb, owned, bucket: int):
+    """jnp block-match + bucket extraction from PLANAR rows.
 
-    rows (N,V,WP), nc (N,V,3) → (cand_pts (N,V,B,3), cand_valid (N,V,B)).
+    rows (N,V,WP), ncb (N,V,3) block coords →
+    (cand_pts (N,V·SUB,B,E,3), cand_valid (N,V·SUB,B,E)): every entry whose
+    stored voxel lies in the wanted block contributes its whole bucket.
     All reads are contiguous lane-plane slices (see VoxelHashMap docstring).
     """
     N, V, WP = rows.shape
     B = bucket
-    ncf = nc.astype(jnp.float32)
-    vx = rows[..., 0:E]                                        # (N,V,E)
-    vy = rows[..., E:2 * E]
-    vz = rows[..., 2 * E:3 * E]
-    cnt = rows[..., 3 * E:4 * E]
-    sel = ((cnt > 0) & (vx == ncf[..., 0:1]) & (vy == ncf[..., 1:2])
-           & (vz == ncf[..., 2:3]))                            # (N,V,E)
+    WP0 = _sub_width(B)
+    sub = rows.reshape(N, V * SUB, WP0)
+    # block coords broadcast to the SUB planar subgroups of each row
+    ncf = jnp.repeat(ncb.astype(jnp.float32), SUB, axis=1)     # (N,V·SUB,3)
+    vx = sub[..., 0:E]                                         # (N,VS,E)
+    vy = sub[..., E:2 * E]
+    vz = sub[..., 2 * E:3 * E]
+    cnt = sub[..., 3 * E:4 * E]
+    # stored voxel → block: floor(v/2) is exact in f32 for |v| < 2^24
+    sel = ((cnt > 0)
+           & (jnp.floor(vx * 0.5) == ncf[..., 0:1])
+           & (jnp.floor(vy * 0.5) == ncf[..., 1:2])
+           & (jnp.floor(vz * 0.5) == ncf[..., 2:3]))           # (N,VS,E)
     if owned is not None:
-        sel = sel & owned[..., None]
-    sel_f = sel.astype(jnp.float32)
+        sel = sel & jnp.repeat(owned, SUB, axis=1)[..., None]
 
     EB = E * B
-    xs = rows[..., 4 * E:4 * E + EB].reshape(N, V, B, E)       # slot-major
-    ys = rows[..., 4 * E + EB:4 * E + 2 * EB].reshape(N, V, B, E)
-    zs = rows[..., 4 * E + 2 * EB:4 * E + 3 * EB].reshape(N, V, B, E)
-    px = jnp.einsum("nvse,nve->nvs", xs, sel_f)                # (N,V,B)
-    py = jnp.einsum("nvse,nve->nvs", ys, sel_f)
-    pz = jnp.einsum("nvse,nve->nvs", zs, sel_f)
-    cand_pts = jnp.stack([px, py, pz], axis=-1)                # (N,V,B,3)
-    cand_n = jnp.sum(sel_f * cnt, axis=-1)                     # (N,V)
-    cand_valid = (
-        jnp.arange(B, dtype=jnp.float32)[None, None, :] < cand_n[..., None]
-    )
+    xs = sub[..., 4 * E:4 * E + EB].reshape(N, V * SUB, B, E)  # slot-major
+    ys = sub[..., 4 * E + EB:4 * E + 2 * EB].reshape(N, V * SUB, B, E)
+    zs = sub[..., 4 * E + 2 * EB:4 * E + 3 * EB].reshape(N, V * SUB, B, E)
+    cand_pts = jnp.stack([xs, ys, zs], axis=-1)                # (N,VS,B,E,3)
+    slot = jnp.arange(B, dtype=jnp.float32)[None, None, :, None]
+    cand_valid = sel[:, :, None, :] & (slot < cnt[:, :, None, :])
     return cand_pts, cand_valid
 
 
@@ -470,38 +507,25 @@ def cands_from_rows(rows, nc, owned, bucket: int):
                                              "num_shards", "neighborhood"))
 def gather_neighborhood(m: VoxelHashMap, queries, *, voxel_size: float,
                         probes: int = 0, num_shards: int = 1, shard_index=0,
-                        neighborhood: int = 27):
-    """Resolve each query's voxel neighborhood and gather the buckets.
+                        neighborhood: int = 8):
+    """Resolve each query's block neighborhood and gather the buckets.
 
-    ``neighborhood`` selects the candidate set (V voxels per query):
-    * 27 — the full 3³ cube: every point within one voxel edge of the
-      query's voxel is a candidate (guaranteed coverage radius = voxel_size).
-    * 8 — nearest-corner 2³ (the iVox/Faster-LIO trick): the query's voxel
-      plus the 7 voxels touching its nearest corner. Guarantees every point
-      within voxel_size/2 of the query is found; 3.4× less gather traffic.
-      With the default 1.2 m voxels the k-th match distance is well under
-      the 0.6 m guarantee in mapped regions, so matching is unchanged in
-      practice (validated by ATE).
-    * 4 — the query's voxel plus its 3 FACE neighbors toward the nearest
-      corner (no edge/corner diagonals). No hard coverage guarantee — a
-      true neighbor in a diagonal voxel can be missed — but with dense maps
-      the k nearest points almost always lie in these 4 voxels; halves the
-      gather traffic vs 8. Accuracy knob: validate per-config with ATE.
+    EIGHT wide-row gathers fetch the 2×2×2 blocks spanning the query's
+    27-voxel cube (full coverage radius = voxel_size, from a 4³-voxel
+    superset of candidates); every stored entry of a wanted block is a
+    candidate.  Depends only on each query's VOXEL, so it can be computed
+    once per scan and reused across update iterations (pose shifts are
+    millimetric).
 
-    ONE wide-row gather fetches each neighbor voxel's group (coords, counts,
-    and all E·B points); the matching entry is selected in-register with an
-    E-way one-hot contraction.  Depends only on each query's VOXEL (the
-    sub-voxel offset only picks the corner), so it can be computed once per
-    scan and reused across update iterations (pose shifts are millimetric).
-
-    ``probes`` is accepted for API compatibility and ignored.
-    Returns (cand_pts (N,V,B,3), cand_valid (N,V,B)).
+    ``probes`` is accepted for API compatibility and ignored;
+    ``neighborhood`` 4/8/27 are accepted no-ops (see `gather_rows`).
+    Returns (cand_pts (N,VS,B,E,3), cand_valid (N,VS,B,E)).
     """
     del probes
-    rows, nc, owned = gather_rows(
+    rows, ncb, owned = gather_rows(
         m, queries, voxel_size=voxel_size, num_shards=num_shards,
         shard_index=shard_index, neighborhood=neighborhood)
-    return cands_from_rows(rows, nc, owned, m.bucket)
+    return cands_from_rows(rows, ncb, owned, m.bucket)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -541,21 +565,23 @@ def evict_far(m: VoxelHashMap, center, radius: float, *, voxel_size: float) -> V
     """
     G = m.groups
     EW = _entry_width(m.bucket)
-    ent = m.table.reshape(G * E, EW)
+    ent = m.table.reshape(G * ROW_E, EW)
     coords = ent[:, :3]                                        # f32 values
-    counts = ent[:, 3]                                         # (G·E,)
+    counts = ent[:, 3]                                         # (G·ROW_E,)
     cvox = jnp.asarray(center) / voxel_size
     d2 = jnp.sum((coords + 0.5 - cvox) ** 2, axis=-1)
     keep = (d2 * (voxel_size * voxel_size)) <= radius * radius
     occupied = counts > 0
     removed = jnp.sum(jnp.where(occupied & ~keep, counts, 0.0)).astype(jnp.int32)
     ent = ent.at[:, 3].set(jnp.where(keep, counts, 0.0))
-    # planar mirror: same count zeroing on the count plane (lanes 3E..4E)
-    keep_ge = keep.reshape(G, E)
-    pt = m.ptable
-    pcnt = jnp.where(keep_ge, pt[:, 3 * E:4 * E], 0.0)
-    pt = jnp.concatenate([pt[:, :3 * E], pcnt, pt[:, 4 * E:]], axis=1)
-    return m._replace(table=ent.reshape(G, E * EW), ptable=pt,
+    # planar mirror: same count zeroing on each subgroup's count plane
+    WP0 = _sub_width(m.bucket)
+    keep_sub = keep.reshape(G * SUB, E)
+    psub = m.ptable.reshape(G * SUB, WP0)
+    pcnt = jnp.where(keep_sub, psub[:, 3 * E:4 * E], 0.0)
+    psub = jnp.concatenate([psub[:, :3 * E], pcnt, psub[:, 4 * E:]], axis=1)
+    return m._replace(table=ent.reshape(G, ROW_E * EW),
+                      ptable=psub.reshape(G, SUB * WP0),
                       num_points=m.num_points - removed)
 
 
@@ -569,34 +595,35 @@ def radius_search(m: VoxelHashMap, queries, radius: float, *,
     `Octree::radiusSearch`, Octree.hpp:454-526 — unused by the reference's
     own pipeline but part of its public map surface).
 
-    Coverage bound: candidates come from the 27-voxel neighborhood, so the
-    result is complete only for ``radius <= voxel_size``; larger radii are
-    truncated to the neighborhood (asserted).
+    Coverage bound: ``radius <= voxel_size`` uses the standard 8-block
+    gather; ``radius <= 2*voxel_size`` widens to the 27-block neighborhood
+    (covers the 5³ voxel cube).  Larger radii are rejected (asserted).
 
     Returns ``(pts (N,R,3), sq_dists (N,R) ascending, valid (N,R))`` where
     invalid lanes carry ``inf`` distance.
     """
-    assert radius <= voxel_size + 1e-6, (
-        f"radius {radius} exceeds the 27-neighborhood coverage bound "
-        f"(voxel_size {voxel_size})")
+    assert radius <= 2 * voxel_size + 1e-6, (
+        f"radius {radius} exceeds the 27-block coverage bound "
+        f"(2*voxel_size = {2 * voxel_size})")
+    nbh = 8 if radius <= voxel_size + 1e-6 else -27
     nbrs, sq, valid = knn(m, queries, voxel_size=voxel_size, k=max_results,
-                          neighborhood=27)
+                          neighborhood=nbh)
     inside = valid & (sq <= radius * radius)
     return nbrs, jnp.where(inside, sq, jnp.inf), inside
 
 
 def knn(m: VoxelHashMap, queries, *, voxel_size: float, k: int, probes: int = 0,
-        num_shards: int = 1, shard_index=0, neighborhood: int = 27
+        num_shards: int = 1, shard_index=0, neighborhood: int = 8
         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Bounded kNN over the voxel neighborhood (gather + fused select/top-k)."""
-    rows, nc, owned = gather_rows(
+    """Bounded kNN over the block neighborhood (gather + fused select/top-k)."""
+    rows, ncb, owned = gather_rows(
         m, queries, voxel_size=voxel_size, num_shards=num_shards,
         shard_index=shard_index, neighborhood=neighborhood)
     from fast_limo_tpu.ops import dispatch
     if owned is None and dispatch.kernel_enabled("knn"):
         from fast_limo_tpu.ops import knn_rows
 
-        return knn_rows.topk_from_rows_tpu(rows, nc, queries, E=E,
+        return knn_rows.topk_from_rows_tpu(rows, ncb, queries, E=E,
                                            B=m.bucket, k=k)
-    cand_pts, cand_valid = cands_from_rows(rows, nc, owned, m.bucket)
+    cand_pts, cand_valid = cands_from_rows(rows, ncb, owned, m.bucket)
     return topk_from_candidates(cand_pts, cand_valid, queries, k=k)

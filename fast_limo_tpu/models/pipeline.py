@@ -91,7 +91,12 @@ class DebugOutput(NamedTuple):
     match_keep: jnp.ndarray        # (Q,) final gate mask (these formed H)
     match_dist: jnp.ndarray        # (Q,) signed point-to-plane distance at x⁺
     gersh_min: jnp.ndarray         # () min Gershgorin bound on eig(HᵀH[:6,:6])
-    guard_fired: jnp.ndarray       # () bool: degeneracy guard's exact branch ran
+                                   # (conditioning telemetry; hugely negative
+                                   # on ordinary geometry — not a guard signal)
+    min_eig: jnp.ndarray           # () exact min eig of HᵀH[:6,:6] over
+                                   # iterations (+inf if certified ≥ D)
+    guard_fired: jnp.ndarray       # () bool: the degeneracy guard actually
+                                   # zeroed directions (min_eig < D)
 
 
 class ScanOutput(NamedTuple):
@@ -308,6 +313,7 @@ def build_scan_step(cfg: Config, *, donate: bool = True, jit: bool = True,
                 match_planes=n_abcd, match_keep=keep & do_update,
                 match_dist=dist,
                 gersh_min=udiag["gersh_min"],
+                min_eig=udiag["min_eig"],
                 guard_fired=udiag["guard_fired"] & do_update))
         return s_next, out
 

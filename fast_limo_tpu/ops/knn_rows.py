@@ -1,22 +1,25 @@
-"""Fused kNN selection kernel: raw gathered PLANAR group rows → k nearest.
+"""Fused kNN selection kernel: raw gathered PLANAR block rows → k nearest.
 
-The kNN stage (reference Octree::knn, Octree.hpp:527-598; here a voxel-hash
-lookup) is: gather each query's V neighbor-voxel group rows (one XLA gather,
-per-row cost), then resolve the matching entry among the E entries of each
-group, mask bucket slots, compute squared distances, and keep the k smallest.
+The kNN stage (reference Octree::knn, Octree.hpp:527-598; here a
+block-addressed voxel-hash lookup) is: gather each query's V neighbor-BLOCK
+group rows (one XLA gather, per-row cost), then keep every entry whose
+stored voxel lies in the wanted block, mask bucket slots, compute squared
+distances, and keep the k smallest.
 
 The map's planar layout (models/mapper.py VoxelHashMap docstring) makes the
-decode pure static lane-plane slices: per neighbor voxel v the row region is
+decode pure static lane-plane slices: each gathered row splits into SUB
+planar subgroups, and per subgroup the row region is
 
     [vx×E | vy×E | vz×E | cnt×E | x slot-major E·B | y | z]
 
-so entry matching is an (BLK,E) compare, slot validity a B-fold lane TILE of
-it, and distances plain elementwise math — no per-lane register columns
-(which blow the 16 MB VMEM stack) and no one-hot selector matmuls (which
-burn ~1 ms of f32 MXU per scan; both alternatives measured on v5e).  The
-previous XLA chain additionally materialized (N,V,E,·) einsum intermediates
-and lane-padded candidate planes — ~5× the gathered bytes in HBM round
-trips.  Here only the (N,k) results reach HBM after the gather.
+so block matching is an (BLK,E) floor-compare, slot validity a B-fold lane
+TILE of it, and distances plain elementwise math — no per-lane register
+columns (which blow the 16 MB VMEM stack) and no one-hot selector matmuls
+(which burn ~1 ms of f32 MXU per scan; both alternatives measured on v5e).
+Unlike the voxel-hashed design, EVERY matching entry of a row contributes
+its bucket (a block holds up to E·SUB spatially-adjacent voxels), so no
+entry gets collapsed away.  Only the (N,k) results reach HBM after the
+gather.
 
 `topk_from_rows_reference` is the identical-semantics jnp path (CPU tests,
 sharded mode).
@@ -41,26 +44,29 @@ _BLK = 512  # queries per grid step
 
 def _kernel(rows_ref, nc_ref, qx_ref, qy_ref, qz_ref,
             sq_ref, nx_ref, ny_ref, nz_ref,
-            *, V: int, E: int, B: int, k: int, WP: int):
+            *, V: int, SUB: int, E: int, B: int, k: int, WP0: int):
     f32 = jnp.float32
     EB = E * B
     BLK = rows_ref.shape[0]
     qx, qy, qz = qx_ref[:, :], qy_ref[:, :], qz_ref[:, :]   # (BLK,1)
 
     d2_parts, px_parts, py_parts, pz_parts = [], [], [], []
-    for v in range(V):
-        o = v * WP
+    for vs in range(V * SUB):
+        o = vs * WP0
+        onc = 4 * (vs // SUB)        # block coords are per SUPER-row
         vx = rows_ref[:, o:o + E]                        # (BLK,E)
         vy = rows_ref[:, o + E:o + 2 * E]
         vz = rows_ref[:, o + 2 * E:o + 3 * E]
         cnt = rows_ref[:, o + 3 * E:o + 4 * E]
-        ncx = nc_ref[:, 4 * v:4 * v + 1]                 # (BLK,1)
-        ncy = nc_ref[:, 4 * v + 1:4 * v + 2]
-        ncz = nc_ref[:, 4 * v + 2:4 * v + 3]
+        bx = nc_ref[:, onc:onc + 1]                      # (BLK,1)
+        by = nc_ref[:, onc + 1:onc + 2]
+        bz = nc_ref[:, onc + 2:onc + 3]
+        # stored voxel → block: floor(v/2) exact in f32 for |v| < 2^24.
         # f32 mask (concatenating i1 vregs hits an unsupported Mosaic
         # bitcast), tiled B-fold to slot-major lanes
-        match = ((cnt > 0.0) & (vx == ncx) & (vy == ncy)
-                 & (vz == ncz)).astype(f32)
+        match = ((cnt > 0.0) & (jnp.floor(vx * 0.5) == bx)
+                 & (jnp.floor(vy * 0.5) == by)
+                 & (jnp.floor(vz * 0.5) == bz)).astype(f32)
 
         x = rows_ref[:, o + 4 * E:o + 4 * E + EB]        # (BLK,EB) slot-major
         y = rows_ref[:, o + 4 * E + EB:o + 4 * E + 2 * EB]
@@ -79,7 +85,7 @@ def _kernel(rows_ref, nc_ref, qx_ref, qy_ref, qz_ref,
         py_parts.append(y)
         pz_parts.append(z)
 
-    d2 = jnp.concatenate(d2_parts, axis=1)               # (BLK, V·EB)
+    d2 = jnp.concatenate(d2_parts, axis=1)               # (BLK, V·SUB·EB)
     px = jnp.concatenate(px_parts, axis=1)
     py = jnp.concatenate(py_parts, axis=1)
     pz = jnp.concatenate(pz_parts, axis=1)
@@ -99,23 +105,28 @@ def _kernel(rows_ref, nc_ref, qx_ref, qy_ref, qz_ref,
 @functools.partial(jax.jit, static_argnames=("E", "B", "k", "interpret"))
 def topk_from_rows_tpu(rows, nc, queries, *, E: int, B: int, k: int,
                        interpret: bool = False):
-    """rows (N,V,WP) f32 planar group rows, nc (N,V,3) int32 neighbor voxel
+    """rows (N,V,WP) f32 planar group rows, nc (N,V,3) int32 neighbor BLOCK
     coords, queries (N,3) → (nbrs (N,k,3), sq (N,k) ascending, valid (N,k)).
     """
+    from fast_limo_tpu.models import mapper as mp
+
     N, V, WP = rows.shape
+    WP0 = mp._sub_width(B)
+    SUB = WP // WP0
+    assert WP == SUB * WP0
     dtype = queries.dtype
     WA = (V * WP + 127) // 128 * 128   # lane-pad; padded lanes never sliced
     # queries per grid step, scaled to the VMEM stack budget (~16 MB): the
-    # live set is the row block plus ~10 (BLK, V·E·B) candidate planes
+    # live set is the row block plus ~10 (BLK, V·SUB·E·B) candidate planes
     blk = _BLK
-    while blk > 64 and blk * (WA + 12 * V * E * B) * 4 > 8 * 2 ** 20:
+    while blk > 64 and blk * (WA + 12 * V * SUB * E * B) * 4 > 8 * 2 ** 20:
         blk //= 2
     Np = (N + blk - 1) // blk * blk
 
     rows2 = rows.reshape(N, V * WP)
     if WA > V * WP:
         rows2 = jnp.pad(rows2, ((0, 0), (0, WA - V * WP)))
-    # coords padded to 4 lanes per voxel for aligned slicing
+    # coords padded to 4 lanes per block for aligned slicing
     ncf = jnp.concatenate(
         [nc.astype(jnp.float32),
          jnp.zeros((N, V, 1), jnp.float32)], axis=-1).reshape(N, V * 4)
@@ -124,7 +135,7 @@ def topk_from_rows_tpu(rows, nc, queries, *, E: int, B: int, k: int,
         return jnp.pad(a, ((0, Np - N), (0, 0)), constant_values=val)
 
     rows2 = padN(rows2)
-    ncf = padN(ncf, -1.0)   # coord -1 ≠ any stored coord of an empty row (0)
+    ncf = padN(ncf, -1.0)   # block -1 ≠ floor(0/2) of an empty row's coords
     qx = padN(queries[:, 0:1].astype(jnp.float32))
     qy = padN(queries[:, 1:2].astype(jnp.float32))
     qz = padN(queries[:, 2:3].astype(jnp.float32))
@@ -138,7 +149,7 @@ def topk_from_rows_tpu(rows, nc, queries, *, E: int, B: int, k: int,
                             memory_space=pltpu.VMEM)
 
     sq, nx, ny, nz = pl.pallas_call(
-        functools.partial(_kernel, V=V, E=E, B=B, k=k, WP=WP),
+        functools.partial(_kernel, V=V, SUB=SUB, E=E, B=B, k=k, WP0=WP0),
         grid=(Np // blk,),
         in_specs=[row_spec, nc_spec, q_spec, q_spec, q_spec],
         out_specs=(out_spec,) * 4,

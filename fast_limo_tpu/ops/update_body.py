@@ -303,7 +303,13 @@ def jacobi_guard_head(H6, dx6, D):
     models/iekf._degeneracy_guard's eigh branch (see its docstring for the
     documented divergence from the reference's sign-dependent row quirk).
     The near-singular ``prod(w) < 1e-20`` branch zeroes components by
-    ascending-eigenvalue index, hence the sort."""
+    ascending-eigenvalue index, hence the sort.
+
+    Returns ``(guarded_dx6 (6,), min_eig ())`` — min_eig is the exact
+    smallest eigenvalue of the pose block, the telemetry behind
+    DebugOutput.guard_fired (min_eig < D ⇔ the guard zeroed something;
+    the Gershgorin bound is hugely negative on ordinary geometry and
+    carries no signal — ADVICE r3)."""
     w, V = _sort_eig6(*_jacobi_eigh6(H6))
     m = (w >= D).astype(jnp.float32)
     # column-vector matmuls (a (6,6)@(6,) matvec mixing scalar-built and
@@ -313,8 +319,9 @@ def jacobi_guard_head(H6, dx6, D):
     w_prod = w[0] * w[1] * w[2] * w[3] * w[4] * w[5]
     use_I = w_prod < 1e-20
     g = jnp.where(use_I, m * dx6, g)
+    min_eig = jnp.min(w)
     # all-pass must be bit-clean (the projector equals I only up to FP noise)
-    return jnp.where(jnp.min(w) >= D, dx6, g)
+    return jnp.where(min_eig >= D, dx6, g), min_eig
 
 
 # ---------------------------------------------------------------------------
@@ -326,7 +333,8 @@ def _iter_core(HTH, HTh, P, dx, state_scalars, gp, inv_R, guard_D=None):
 
     ``state_scalars`` = (pos, rot, rot_LI, t_LI, vel, bg, ba, grav) as
     scalar-built stacks; ``P`` is P_prop; ``dx`` = x ⊟ x_prop (NS,).
-    Returns ``(xn (XF,), Pf (NS,NS), dx_ (NS,), gersh_min ())``.
+    Returns ``(xn (XF,), Pf (NS,NS), dx_ (NS,), gersh_min (), min_eig ())``
+    (min_eig = +inf when ``guard_D is None`` — no eigensolve ran).
 
     ``guard_D=None`` (single-iteration kernel): the fast-path identity-
     degeneracy-guard assumption — the caller must check ``gersh_min`` and
@@ -370,9 +378,11 @@ def _iter_core(HTH, HTh, P, dx, state_scalars, gp, inv_R, guard_D=None):
         # fast path: assume guard == identity (caller certifies via gersh)
         dh = d[0:6]
         dr_plus = dr
+        min_eig = jnp.asarray(jnp.inf, f32)
     else:
         # exact in-kernel reference guard on the 6-dim pose head
-        head = jacobi_guard_head(HTH[0:6, 0:6], jnp.stack(d[0:6]), guard_D)
+        head, min_eig = jacobi_guard_head(HTH[0:6, 0:6], jnp.stack(d[0:6]),
+                                          guard_D)
         dh = [head[i] for i in range(6)]
         dr_plus = jnp.stack(dh[3:6])
     de = jnp.stack(d[6:9])        # extrinsic-rot delta
@@ -409,7 +419,7 @@ def _iter_core(HTH, HTh, P, dx, state_scalars, gp, inv_R, guard_D=None):
     res2f = _dot(_nx_yy(grav_n), _mx(gp, dg))
     J2 = _block_J(A3, A4, res2f)
     Pf = _dot(_dot(J2, M0), J2.T)
-    return xn, 0.5 * (Pf + Pf.T), dx_, gersh
+    return xn, 0.5 * (Pf + Pf.T), dx_, gersh, min_eig
 
 
 def _body_kernel(HTH_ref, HTh_ref, P_ref, dx_ref, sc_ref,
@@ -424,13 +434,14 @@ def _body_kernel(HTH_ref, HTh_ref, P_ref, dx_ref, sc_ref,
     inv_R = sc_ref[0, XF + 3]
     D = sc_ref[0, XF + 4]
 
-    xn, Pf, dx_, gersh = _iter_core(
+    xn, Pf, dx_, gersh, min_eig = _iter_core(
         HTH_ref[:, :], HTh_ref[0, :], P_ref[:, :], dx_ref[0, :],
         state_scalars, gp, inv_R, guard_D=D)
     xn_ref[0, :] = xn
     Pf_ref[:, :] = Pf
     dxp_ref[0, :] = dx_
     gm_ref[0, 0] = gersh
+    gm_ref[0, 1] = min_eig
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -439,12 +450,15 @@ def update_body_tpu(HTH, HTh, P, x: st.NavState, x_prop: st.NavState, R, D,
     """One fused update-iteration body on TPU, incl. the EXACT degeneracy
     guard (in-kernel Jacobi eigh — see `jacobi_guard_head`).
 
-    Returns ``(x_next (NavState), P_fin (23,23), dx_ (23,), gersh_min ())``
-    — gersh_min is telemetry only (the round-2 design used it to certify a
-    guard-free fast path, but on the real bench geometry the Gershgorin
-    bound is hugely negative on EVERY scan while the true eigenvalues are
-    fine, so certification never engaged and every iteration paid the jnp
-    eigh fallback; the in-kernel guard removes that path entirely).
+    Returns ``(x_next (NavState), P_fin (23,23), dx_ (23,), gersh_min (),
+    min_eig ())`` — gersh_min is conditioning telemetry only (the round-2
+    design used it to certify a guard-free fast path, but on the real bench
+    geometry the Gershgorin bound is hugely negative on EVERY scan while
+    the true eigenvalues are fine, so certification never engaged and every
+    iteration paid the jnp eigh fallback; the in-kernel guard removes that
+    path entirely); min_eig is the exact smallest pose-block eigenvalue
+    from the in-kernel Jacobi solve (min_eig < D ⇔ the guard zeroed
+    directions).
     """
     f32 = jnp.float32
     dx = st.boxminus(x, x_prop).astype(f32)
@@ -465,12 +479,12 @@ def update_body_tpu(HTH, HTh, P, x: st.NavState, x_prop: st.NavState, R, D,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)),
+                   pl.BlockSpec((1, 2), memory_space=pltpu.SMEM)),
         out_shape=(jax.ShapeDtypeStruct((1, XF), f32),
                    jax.ShapeDtypeStruct((NS, NS), f32),
                    jax.ShapeDtypeStruct((1, NS), f32),
-                   jax.ShapeDtypeStruct((1, 1), f32)),
+                   jax.ShapeDtypeStruct((1, 2), f32)),
         interpret=interpret,
     )(HTH.astype(f32), HTh.astype(f32)[None, :], P.astype(f32), dx[None, :],
       sc)
-    return st.from_vector(xn[0]), Pf, dxp[0], gm[0, 0]
+    return st.from_vector(xn[0]), Pf, dxp[0], gm[0, 0], gm[0, 1]

@@ -152,6 +152,7 @@ def _loop_kernel(X_ref, P_ref, sc_ref, xn_ref, Pf_ref, aux_ref,
     t = jnp.asarray(0, jnp.int32)
     nit = jnp.asarray(0, jnp.int32)
     gersh_min = jnp.asarray(jnp.inf, f32)
+    min_eig = jnp.asarray(jnp.inf, f32)
 
     for it in range(max_iters + 1):
         xs = [x[i] for i in range(XF)]
@@ -162,7 +163,7 @@ def _loop_kernel(X_ref, P_ref, sc_ref, xn_ref, Pf_ref, aux_ref,
         hs = xs[3:7] + xs[0:3] + xs[7:11] + xs[11:14]   # rot pos rotLI tLI
         HTH, HTh = stats_math(chans, hs,
                               estimate_extrinsics=estimate_extrinsics)
-        xn, Pf, dx_, gersh = _iter_core(
+        xn, Pf, dx_, gersh, me = _iter_core(
             HTH, HTh, P, dx, state_scalars, gp, inv_R, guard_D=D)
 
         conv = jnp.max(jnp.abs(dx_)) <= limit
@@ -179,6 +180,7 @@ def _loop_kernel(X_ref, P_ref, sc_ref, xn_ref, Pf_ref, aux_ref,
         nit = jnp.where(done, nit, it + 1)
         ok = ok & (done | bm_ok)
         gersh_min = jnp.where(done, gersh_min, jnp.minimum(gersh_min, gersh))
+        min_eig = jnp.where(done, min_eig, jnp.minimum(min_eig, me))
         done = done | done_now
 
     xn_ref[0, :] = x
@@ -186,7 +188,7 @@ def _loop_kernel(X_ref, P_ref, sc_ref, xn_ref, Pf_ref, aux_ref,
     aux_ref[0, 0] = nit.astype(f32)
     aux_ref[0, 1] = ok.astype(f32)
     aux_ref[0, 2] = gersh_min
-    aux_ref[0, 3] = jnp.float32(0.0)
+    aux_ref[0, 3] = min_eig
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -198,12 +200,14 @@ def update_loop_tpu(X, P, x_prop: st.NavState, R, D, limit, *,
 
     ``X`` is the frozen-correspondence channel pack (hstats.pack_inputs).
     Returns ``(x_next (NavState), P_fin (23,23), n_iters (), ok (),
-    gersh_min ())`` — the degeneracy guard runs EXACTLY in-kernel (Jacobi
-    eigh), so ``ok`` certifies only the atan-series regime of the
-    in-kernel boxminus; when False (a > ~28° between-iteration correction
-    — abnormal) the caller must re-run the exact jnp loop.  ``gersh_min``
-    is telemetry (the Gershgorin lower bound on the pose block, min over
-    active iterations).
+    gersh_min (), min_eig ())`` — the degeneracy guard runs EXACTLY
+    in-kernel (Jacobi eigh), so ``ok`` certifies only the atan-series
+    regime of the in-kernel boxminus; when False (a > ~28° between-
+    iteration correction — abnormal) the caller must re-run the exact jnp
+    loop.  ``gersh_min`` is conditioning telemetry (the Gershgorin lower
+    bound on the pose block, min over active iterations); ``min_eig`` is
+    the exact smallest pose-block eigenvalue over active iterations
+    (min_eig < D ⇔ the guard zeroed directions).
     """
     f32 = jnp.float32
     Nr = X.shape[0] // 8
@@ -234,4 +238,4 @@ def update_loop_tpu(X, P, x_prop: st.NavState, R, D, limit, *,
 
     n_iters = aux[0, 0].astype(jnp.int32)
     ok = aux[0, 1] > 0
-    return st.from_vector(xn[0]), Pf, n_iters, ok, aux[0, 2]
+    return st.from_vector(xn[0]), Pf, n_iters, ok, aux[0, 2], aux[0, 3]

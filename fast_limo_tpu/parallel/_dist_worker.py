@@ -39,11 +39,12 @@ def main(argv=None) -> int:
     ap.add_argument("--skip-2d", action="store_true")
     args = ap.parse_args(argv)
 
-    # backend env must be pinned before jax initializes
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "").split("--xla_force_host_platform")[0]
-        + f" --xla_force_host_platform_device_count={args.local_devices}"
-    ).strip()
+    # backend env must be pinned before jax initializes; replace only the
+    # device-count flag, preserving any unrelated inherited XLA flags
+    kept = [f for f in os.environ.get("XLA_FLAGS", "").split()
+            if not f.startswith("--xla_force_host_platform_device_count")]
+    os.environ["XLA_FLAGS"] = " ".join(
+        kept + [f"--xla_force_host_platform_device_count={args.local_devices}"])
     os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax

@@ -108,9 +108,12 @@ class TPUConfig:
                                           # must be ≤ hash_probes so lookups
                                           # always cover the chains inserts create
     knn_refresh: str = "always"           # "always" (reference parity) | "first"
-    knn_neighborhood: int = 27            # 27 (full 3³ cube, coverage radius =
-                                          # voxel) | 8 (nearest-corner 2³,
-                                          # coverage voxel/2, 3.4× less gather)
+    knn_neighborhood: int = 8             # DEPRECATED no-op since the block-
+                                          # addressed map (round 4): every value
+                                          # resolves to the exact 8-block gather
+                                          # (full 27-voxel-cube coverage radius =
+                                          # voxel_size from a 4³ superset); kept
+                                          # so round-1..3 configs keep loading
     deskew_frames: int = 128              # max propagated states per scan window
     imu_batch: int = 64                   # max IMU samples integrated per scan step
     quantize_transfer: float = 0.0        # >0: ship scan points host→device as

@@ -17,11 +17,14 @@ kernel; dict/array map vs the fused hash table), so agreement with the f32
 JAX pipeline over a trajectory is evidence that both implement the same
 algorithm and the f32/TPU path introduces only rounding-level error.
 
-The map model mirrors the ENGINE's documented spec — bucketized voxel-hash
-with E=8-way groups, per-voxel capacity B, group-full voxel rejection, and
-batch insert ordering by (group, packed-key, index) — because that IS the
+The map model mirrors the ENGINE's documented spec — BLOCK-addressed
+voxel-hash with ROW_E=16-entry groups keyed on the 2×2×2-voxel block
+coordinate, per-voxel capacity B, group-full voxel rejection, and batch
+insert ordering by (group, packed-key, index) — because that IS the
 TPU-native redesign of the reference octree (see models/mapper.py docstring;
-the octree itself cannot be the oracle for a voxel-hash map).
+the octree itself cannot be the oracle for a voxel-hash map).  kNN
+candidates are the 4³-voxel superset spanned by the 8 gathered blocks
+(⊇ the reference's 27-cube coverage).
 
 Consumed by tests/test_e2e_oracle.py.
 """
@@ -32,12 +35,7 @@ import numpy as np
 
 import oracle
 
-E = 8  # entries per hash group (models/mapper.py module constant)
-
-_OFFSETS27 = np.array(
-    [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
-    dtype=np.int64,
-)
+ROW_E = 16  # entries per hash group (models/mapper.py module constant)
 
 
 # ---------------------------------------------------------------------------
@@ -103,8 +101,8 @@ class OracleMap:
     """Dict-of-buckets mirror of models/mapper.VoxelHashMap semantics."""
 
     def __init__(self, capacity: int, bucket: int):
-        assert capacity % E == 0
-        self.groups = capacity // E
+        assert capacity % ROW_E == 0
+        self.groups = capacity // ROW_E
         self.bucket = bucket
         self.entries: dict = {}       # voxel tuple -> list of points (≤ B)
         self.group_n: dict = {}       # group id -> #entries taken
@@ -122,7 +120,7 @@ class OracleMap:
         if len(pts) == 0:
             return
         vc = np.floor(pts / self.voxel_size).astype(np.int64)
-        g = _hash_groups(vc, self.groups)
+        g = _hash_groups(vc >> 1, self.groups)     # block-addressed groups
         packed = (((vc[:, 0] & 0x3FF) << 20) | ((vc[:, 1] & 0x3FF) << 10)
                   | (vc[:, 2] & 0x3FF))
         order = np.lexsort((np.arange(len(pts)), packed, g))
@@ -132,7 +130,7 @@ class OracleMap:
             lst = self.entries.get(key)
             if lst is None:
                 gi = int(g[i])
-                if self.group_n.get(gi, 0) >= E:
+                if self.group_n.get(gi, 0) >= ROW_E:
                     continue                      # group full: voxel rejected
                 lst = []
                 self.entries[key] = lst
@@ -166,27 +164,34 @@ class OracleMap:
         return self._snap
 
     def knn(self, queries: np.ndarray, k: int):
-        """27-neighborhood bounded kNN, ascending squared distances.
+        """Block-neighborhood bounded kNN, ascending squared distances.
 
+        Candidate voxels are the 4³ region spanned by the 8 blocks
+        {floor((v-1)/2)+{0,1}}³ — the exact voxel set the engine's 8-block
+        row gather covers (⊇ the 27-cube).
         Returns (nbrs (N,k,3), sq (N,k) with +inf pads, valid (N,k)).
         """
         keys, ptss, cnts = self._snapshot()
         N = len(queries)
         B = self.bucket
         vc = np.floor(queries / self.voxel_size).astype(np.int64)
-        nc = vc[:, None, :] + _OFFSETS27[None, :, :]          # (N,27,3)
-        kk = _pack_key(nc)                                    # (N,27)
+        b0 = (vc - 1) >> 1                                    # base block
+        d = np.arange(4, dtype=np.int64)
+        off = np.stack(np.meshgrid(d, d, d, indexing="ij"),
+                       axis=-1).reshape(64, 3)                # (64,3)
+        nc = 2 * b0[:, None, :] + off[None, :, :]             # (N,64,3)
+        kk = _pack_key(nc)                                    # (N,64)
         if len(keys) == 0:
             return (np.zeros((N, k, 3)), np.full((N, k), np.inf),
                     np.zeros((N, k), bool))
         pos = np.searchsorted(keys, kk)
         pos_c = np.clip(pos, 0, len(keys) - 1)
-        hit = keys[pos_c] == kk                               # (N,27)
+        hit = keys[pos_c] == kk                               # (N,64)
         row = np.where(hit, pos_c, 0)
-        cand = ptss[row]                                      # (N,27,B,3)
+        cand = ptss[row]                                      # (N,64,B,3)
         cval = hit[..., None] & (np.arange(B)[None, None, :] < cnts[row][..., None])
-        cand = cand.reshape(N, 27 * B, 3)
-        cval = cval.reshape(N, 27 * B)
+        cand = cand.reshape(N, 64 * B, 3)
+        cval = cval.reshape(N, 64 * B)
         d2 = np.sum((cand - queries[:, None, :]) ** 2, axis=-1)
         d2 = np.where(cval, d2, np.inf)
         idx = np.argsort(d2, axis=1)[:, :k]

@@ -74,11 +74,17 @@ def test_debug_surface_contents():
     assert dbg.match_keep.shape == (Q,)
     assert dbg.match_dist.shape == (Q,)
 
-    # degeneracy-guard telemetry (round-3): the Gershgorin bound is a real
-    # finite scalar and guard_fired is its < D predicate
+    # degeneracy-guard telemetry (round-4 semantics): gersh_min is a real
+    # finite conditioning scalar; guard_fired is the EXACT min-eigenvalue
+    # < D predicate (ADVICE r3: the Gershgorin bound fires on ordinary
+    # geometry and carries no guard signal)
     g = float(dbg.gersh_min)
     assert np.isfinite(g)
-    assert bool(dbg.guard_fired) == (g < cfg.ikfom.degeneracy_thresh)
+    me = float(dbg.min_eig)
+    assert me >= g - 1e-3 * max(1.0, abs(g))   # eig ≥ its Gershgorin bound
+    assert bool(dbg.guard_fired) == (me < cfg.ikfom.degeneracy_thresh)
+    # well-constrained synthetic geometry: the guard must NOT fire
+    assert not bool(dbg.guard_fired)
 
     keep = np.asarray(dbg.match_keep)
     n_keep = int(keep.sum())

@@ -114,11 +114,26 @@ class TestKNN:
         assert not bool(jnp.any(valid))
 
 
-class TestCornerNeighborhood:
-    """neighborhood=8 (nearest-corner 2^3): guaranteed coverage radius is
-    voxel_size/2 instead of voxel_size, at 3.4x less gather traffic."""
+class TestNeighborhoodKnob:
+    """The round-1..3 knn_neighborhood knob (4/8/27) is a documented no-op
+    since the block-addressed map: every value resolves to the exact 8-block
+    gather with full 27-cube coverage."""
 
-    def test_knn8_matches_brute_force_within_half_voxel(self, rng):
+    def test_all_knob_values_identical(self, rng):
+        m = make_map(bucket=8, cap=8192)
+        pts = rng.uniform(-8, 8, (3000, 3)).astype(np.float32)
+        m = mapper.insert(m, jnp.asarray(pts), jnp.ones(3000, bool), voxel_size=VOX)
+        qs = rng.uniform(-6, 6, (80, 3)).astype(np.float32)
+        _, sq27, _ = mapper.knn(m, jnp.asarray(qs), voxel_size=VOX, k=5,
+                                neighborhood=27)
+        for nbh in (4, 8):
+            _, sq, _ = mapper.knn(m, jnp.asarray(qs), voxel_size=VOX, k=5,
+                                  neighborhood=nbh)
+            np.testing.assert_array_equal(np.asarray(sq), np.asarray(sq27))
+
+    def test_covers_full_voxel_radius(self, rng):
+        """Coverage guarantee radius = voxel_size for every knob value
+        (previously only neighborhood=27 guaranteed this)."""
         m = make_map(bucket=8, cap=8192)
         pts = rng.uniform(-8, 8, (3000, 3)).astype(np.float32)
         m = mapper.insert(m, jnp.asarray(pts), jnp.ones(3000, bool), voxel_size=VOX)
@@ -129,33 +144,65 @@ class TestCornerNeighborhood:
 
         qs = rng.uniform(-6, 6, (80, 3)).astype(np.float32)
         _, sq, _ = mapper.knn(m, jnp.asarray(qs), voxel_size=VOX, k=5,
-                              neighborhood=8)
+                              neighborhood=4)
         sq = np.asarray(sq)
-        r2 = (VOX / 2) ** 2
+        r2 = VOX * VOX
         for i, q in enumerate(qs):
             d2 = np.sort(np.sum((stored - q) ** 2, axis=1))[:5]
             wm = d2[d2 < r2]
             gm = sq[i][sq[i] < r2]
             np.testing.assert_allclose(gm[: len(wm)], wm[: len(gm)], rtol=1e-5)
 
-    def test_knn8_subset_of_knn27(self, rng):
-        """Every candidate the 2^3 neighborhood returns is one the 3^3 cube
-        would return: the corner voxels are a subset of the full cube."""
-        m = make_map(bucket=8, cap=8192)
-        pts = rng.uniform(-4, 4, (2000, 3)).astype(np.float32)
-        m = mapper.insert(m, jnp.asarray(pts), jnp.ones(2000, bool), voxel_size=VOX)
-        qs = rng.uniform(-3, 3, (40, 3)).astype(np.float32)
-        _, sq8, v8 = mapper.knn(m, jnp.asarray(qs), voxel_size=VOX, k=5,
-                                neighborhood=8)
-        c27, cv27 = mapper.gather_neighborhood(
-            m, jnp.asarray(qs), voxel_size=VOX, probes=8, neighborhood=27)
-        d27 = np.where(np.asarray(cv27).reshape(40, -1),
-                       np.sum((np.asarray(c27).reshape(40, -1, 3)
-                               - qs[:, None]) ** 2, axis=-1), np.inf)
-        for i in range(len(qs)):
-            pool = np.sort(d27[i])
-            for d in np.asarray(sq8[i])[np.asarray(v8[i])]:
-                assert np.any(np.isclose(pool, d, rtol=1e-5)), (i, d)
+
+class TestBlockCollisions:
+    """Two blocks hashing to the same group coexist (free-entry election
+    absorbs them); overflow beyond ROW_E total voxels rejects newcomers."""
+
+    def _colliding_blocks(self, groups, want=2, span=40):
+        """Find `want` distinct blocks (within ±span) sharing a hash group."""
+        import collections
+        byg = collections.defaultdict(list)
+        for bx in range(-span, span):
+            for by in range(-span, span):
+                h = ((np.int64(bx * 73856093) & 0xFFFFFFFF)
+                     ^ (np.int64(by * 19349669) & 0xFFFFFFFF)) & (groups - 1)
+                byg[int(h)].append((bx, by, 0))
+                if len(byg[int(h)]) >= want:
+                    return byg[int(h)][:want]
+        raise AssertionError("no collision found")
+
+    def test_two_full_blocks_coexist(self):
+        m = make_map(bucket=1, cap=1024)   # 64 groups
+        blocks = self._colliding_blocks(m.groups, want=2)
+        # fill all 8 voxels of both blocks: 16 voxels == ROW_E exactly
+        pts = []
+        for (bx, by, bz) in blocks:
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    for dz in (0, 1):
+                        pts.append(((2 * bx + dx + 0.5) * VOX,
+                                    (2 * by + dy + 0.5) * VOX,
+                                    (2 * bz + dz + 0.5) * VOX))
+        pts = np.asarray(pts, np.float32)
+        m = mapper.insert(m, jnp.asarray(pts), jnp.ones(len(pts), bool),
+                          voxel_size=VOX)
+        assert int(m.num_points) == 16
+
+    def test_overflow_rejects_newcomers(self):
+        m = make_map(bucket=1, cap=1024)
+        blocks = self._colliding_blocks(m.groups, want=3)
+        pts = []
+        for (bx, by, bz) in blocks:
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    for dz in (0, 1):
+                        pts.append(((2 * bx + dx + 0.5) * VOX,
+                                    (2 * by + dy + 0.5) * VOX,
+                                    (2 * bz + dz + 0.5) * VOX))
+        pts = np.asarray(pts, np.float32)   # 24 voxels → only ROW_E=16 fit
+        m = mapper.insert(m, jnp.asarray(pts), jnp.ones(len(pts), bool),
+                          voxel_size=VOX)
+        assert int(m.num_points) == mapper.ROW_E
 
 
 class TestPlanarMirror:
@@ -166,12 +213,14 @@ class TestPlanarMirror:
         G = m.groups
         B = m.bucket
         E = mapper.E
-        ent = np.asarray(m.table).reshape(G, E, 4 + 4 * B)
+        # planarization operates per SUB-row of E entries
+        ent = np.asarray(m.table).reshape(G * mapper.SUB, E, 4 + 4 * B)
         planes = [ent[:, :, 0], ent[:, :, 1], ent[:, :, 2], ent[:, :, 3]]
         for c in range(3):
             for s in range(B):
                 planes.append(ent[:, :, 4 + 4 * s + c])
-        return np.concatenate(planes, axis=1)
+        return np.concatenate(planes, axis=1).reshape(
+            G, mapper.SUB * mapper._sub_width(B))
 
     def test_mirror_after_incremental_inserts(self, rng):
         m = make_map(bucket=3, cap=1024)
@@ -191,8 +240,10 @@ class TestPlanarMirror:
         # count planes zeroed consistently
         mirror = self._planar_from_table(m)
         np.testing.assert_array_equal(
-            np.asarray(m.ptable)[:, 3 * mapper.E:4 * mapper.E],
-            mirror[:, 3 * mapper.E:4 * mapper.E])
+            np.asarray(m.ptable).reshape(
+                -1, mapper._sub_width(m.bucket))[:, 3 * mapper.E:4 * mapper.E],
+            mirror.reshape(
+                -1, mapper._sub_width(m.bucket))[:, 3 * mapper.E:4 * mapper.E])
         # re-insert into evicted slots: stale lanes must be cleared exactly
         pts2 = rng.uniform(-6, 6, (400, 3)).astype(np.float32)
         m = mapper.insert(m, jnp.asarray(pts2), jnp.ones(400, bool), voxel_size=VOX)

@@ -69,7 +69,7 @@ def _compare(case, err_ratio=12.0, floor=5e-5):
     ref32 = _fastpath_body(HTH, HTh, P, x, x_prop, R)
     # D = -inf: every eigenvalue passes, the in-kernel guard is (bit-clean)
     # identity — isolates the body algebra against the guard-free reference
-    xk, Pk, dxk, gm = update_body.update_body_tpu(
+    xk, Pk, dxk, gm, _me = update_body.update_body_tpu(
         HTH, HTh, P, x, x_prop, R, -1e30, interpret=True)
     kern = (xk, Pk, dxk)
 

@@ -98,7 +98,7 @@ class TestWholeLoopKernel:
             x_prop, P, h_model, R=R, D=D, max_iters=max_iters, limit=limit)
 
         X = hstats.pack_inputs(pc, n_abcd, keep)
-        x_k, P_k, n_k, ok, _g = update_loop.update_loop_tpu(
+        x_k, P_k, n_k, ok, _g, _me = update_loop.update_loop_tpu(
             X, P, x_prop, R, D, limit, max_iters=max_iters,
             estimate_extrinsics=ee, interpret=True)
         return (x_ref, P_ref, n_ref), (x_k, P_k, n_k, ok)
@@ -123,7 +123,7 @@ class TestWholeLoopKernel:
         x_ref, P_ref, n_ref = iekf.update_iterated(
             x_prop, P, h_model, R=R, D=D, max_iters=max_iters, limit=limit)
         X = hstats.pack_inputs(pc, n_abcd, keep)
-        x_k, P_k, n_k, ok, _g = update_loop.update_loop_tpu(
+        x_k, P_k, n_k, ok, _g, _me = update_loop.update_loop_tpu(
             X, P, x_prop, R, D, limit, max_iters=max_iters,
             estimate_extrinsics=False, interpret=True)
         assert bool(ok)
@@ -165,7 +165,7 @@ class TestWholeLoopKernel:
         x_ref, P_ref, n_ref = iekf.update_iterated(
             x_prop, P, h_model, R=R, D=D, max_iters=max_iters, limit=limit)
         X = hstats.pack_inputs(pc, n_abcd, keep)
-        x_k, P_k, n_k, ok, _g = update_loop.update_loop_tpu(
+        x_k, P_k, n_k, ok, _g, _me = update_loop.update_loop_tpu(
             X, P, x_prop, R, D, limit, max_iters=max_iters,
             estimate_extrinsics=True, interpret=True)
         assert bool(ok)
@@ -206,8 +206,8 @@ class TestJacobiGuard:
             H6 = jnp.asarray(B @ B.T * 100 + 0.5 * np.eye(6), jnp.float32)
             HTH = jnp.zeros((12, 12), jnp.float32).at[:6, :6].set(H6)
             dx = jnp.asarray(rng.standard_normal(23), jnp.float32)
-            want = iekf_m._degeneracy_guard(HTH, dx, 5.0)
-            got = update_body.jacobi_guard_head(H6, dx[:6], 5.0)
+            want, _we = iekf_m._degeneracy_guard(HTH, dx, 5.0)
+            got, _ke = update_body.jacobi_guard_head(H6, dx[:6], 5.0)
             np.testing.assert_allclose(np.asarray(got), np.asarray(want)[:6],
                                        rtol=1e-3, atol=1e-4)
         # the spectral-projector guard is invariant to eigenvector signs —
