@@ -171,6 +171,43 @@ def ate_sweep(seeds, n_scans: int = 48) -> dict:
     return out
 
 
+def corridor_gps_band(seed: int = 7, n_scans: int = 48) -> dict:
+    """The degeneracy REMEDY band (round-4): the corridor scene's
+    along-track drift (ORACLE_CORRIDOR: scene geometry, not numerics) must
+    be rescued by 2 Hz GPS priors through the SLAM pose graph
+    (tests/test_gps.py::TestCorridorDegeneracyRemedy is the gate; this
+    reports the same metric on the bench device).  kf_rmse_* is the RMSE of
+    the retro-smoothed keyframe trajectory."""
+    from fast_limo_tpu.models.slam import SLAM, LoopConfig
+
+    out = {}
+    for with_gps in (False, True):
+        cfg = kitti_like_cfg()
+        seq = make_seq("benign", seed, n_scans)
+        slam = SLAM(cfg, LoopConfig(gps_weight=20.0, gps_optimize_every=5))
+        stamps, acc, gyro = seq.imu_stream()
+        scans = [seq.scan(i) for i in range(n_scans)]
+        si = 0
+        last_gps = -1e9
+        for k in range(len(stamps)):
+            slam.update_imu(stamps[k], acc[k], gyro[k])
+            if with_gps and stamps[k] - last_gps >= 0.5:
+                last_gps = stamps[k]
+                gt = seq.traj.pos(np.asarray([stamps[k]]))[0]
+                slam.update_gps(stamps[k], gt + 0.02 * np.array([1, -1, 0.5]))
+            while si < n_scans and scans[si][0] <= stamps[k]:
+                st_, pts, traw = scans[si]
+                slam.update_pointcloud(pts, traw, st_)
+                si += 1
+        slam.flush()
+        kfp = np.array([kf.pos for kf in slam.keyframes])
+        kgt = seq.traj.pos(np.array([kf.stamp for kf in slam.keyframes]))
+        kerr = np.linalg.norm(kfp - kgt, axis=1)
+        key = "gps" if with_gps else "odo"
+        out[f"kf_rmse_{key}"] = round(float(np.sqrt(np.mean(kerr ** 2))), 4)
+    return out
+
+
 def _measure_stream(cfg, stamps, acc, gyro, scans, n_warm, epoch_len):
     """Replay the stream; return (best-epoch scans/s, epoch_times, loc).
 
@@ -240,6 +277,7 @@ def main():
     # statistical accuracy bands: 3 seeds × {fast, reference-exact} knobs ×
     # {benign, adversarial} scenes (deterministic replays — see replay_ate)
     ate_bands = ate_sweep(seeds=[3, 7, 13])
+    ate_bands["corridor_gps"] = corridor_gps_band()
 
     print(json.dumps({
         "metric": "scan_throughput",

@@ -69,7 +69,16 @@ class LoopConfig:
     loop_weight: float = 5.0
     gps_weight: float = 5.0         # information weight of GPS position priors
     gps_time_tol: float = 0.25      # s: max |gps stamp − keyframe stamp| to attach
-    gps_optimize_every: int = 0     # re-optimize after this many new GPS factors
+    gps_optimize_every: int = 10    # re-optimize (graph GN + map rebuild +
+                                    # live-state correction) after this many
+                                    # new GPS factors.  10 ≈ every 2-10 s at
+                                    # typical 1-5 Hz GNSS — frequent enough
+                                    # to pin degenerate-corridor drift
+                                    # (tests/test_gps.py corridor remedy)
+                                    # without rebuilding the map every fix.
+                                    # 0 disables auto-optimize (round-3
+                                    # behavior: factors only apply at the
+                                    # next loop closure).
                                     # even without a loop closure (0 = only on loops)
 
 
@@ -126,10 +135,17 @@ class SLAM:
         self._after_dispatch()
 
     def flush(self):
-        """End-of-stream: dispatch any covered partial chunk (chunked replay)
-        and capture keyframes for the last ``capture_lag`` scans."""
+        """End-of-stream: dispatch any covered partial chunk (chunked replay),
+        capture keyframes for the last ``capture_lag`` scans, and apply any
+        GPS factors attached since the last optimize (final smoothing — the
+        tail of the trajectory otherwise drifts past the last auto-optimize
+        cadence mark)."""
         self.loc.flush()
         self._after_dispatch(lag=0)
+        self._attach_gps()
+        if self._gps_since_opt > 0 and len(self.keyframes) > 1:
+            self._gps_since_opt = 0
+            self._optimize_and_correct()
 
     def update_gps(self, stamp, pos, weight: Optional[float] = None):
         """Feed a GPS fix (world-frame position, seconds).  Attached as a
@@ -145,25 +161,51 @@ class SLAM:
             self._optimize_and_correct()
 
     def _attach_gps(self):
-        """Bind buffered fixes to keyframes once a close-enough one exists."""
+        """Bind buffered fixes to keyframes, TIME-TRANSFERRED to the
+        keyframe's stamp.
+
+        A fix measured at ``ts`` but attached to a keyframe at a different
+        stamp misplaces the prior by v·|Δt| — at highway speed and the
+        0.25 s tolerance that is metres, and a mid-run optimize then YANKS
+        the trajectory along-track (measured: +2.4 m live-pose jump on the
+        15 m/s corridor).  The transfer uses the engine's own short-horizon
+        odometry, which is mm-accurate over a keyframe gap: the prior
+        becomes ``pos + (kf.pos − est(ts))`` where ``est(ts)`` linearly
+        interpolates the estimated positions of the keyframes bracketing
+        ``ts`` — i.e. the GPS residual is evaluated where it was measured
+        and carried to the anchor node by relative odometry.  Fixes newer
+        than the newest keyframe wait in the buffer until bracketed."""
         if not self.keyframes:
             return
         tol = self.loop_cfg.gps_time_tol
         latest = self.keyframes[-1].stamp
         keep = []
         for (ts, pos, w) in self._gps_buffer:
-            best, bd = None, tol
+            if ts > latest:
+                keep.append((ts, pos, w))   # its bracket may not exist yet
+                continue
+            # bracketing keyframes ka.stamp <= ts <= kb.stamp
+            ka = kb = None
             for kf in reversed(self.keyframes):
-                d = abs(kf.stamp - ts)
-                if d <= bd:
-                    best, bd = kf, d
-                if kf.stamp < ts - tol:
+                if kf.stamp >= ts:
+                    kb = kf
+                else:
+                    ka = kf
                     break
-            if best is not None:
-                self.gps_factors.append((best.index, pos, w))
-                self._gps_since_opt += 1
-            elif ts > latest - tol:
-                keep.append((ts, pos, w))   # its keyframe may not exist yet
+            if ka is None:
+                # older than every keyframe: no odometry to transfer along;
+                # attach raw only when the residual v·Δt error is bounded
+                if kb is not None and kb.stamp - ts <= tol:
+                    self.gps_factors.append((kb.index, pos, w))
+                    self._gps_since_opt += 1
+                continue                     # else: stale pre-map fix, drop
+            span = kb.stamp - ka.stamp
+            alpha = (ts - ka.stamp) / span if span > 1e-9 else 0.0
+            est_at_ts = (1.0 - alpha) * ka.pos + alpha * kb.pos
+            best = ka if (ts - ka.stamp) <= (kb.stamp - ts) else kb
+            corrected = np.asarray(pos, np.float64) + (best.pos - est_at_ts)
+            self.gps_factors.append((best.index, corrected, w))
+            self._gps_since_opt += 1
         self._gps_buffer = keep
 
     # ------------------------------------------------------------- internals

@@ -114,3 +114,86 @@ class TestSLAMGPS:
         for (i, pos, w) in slam.gps_factors:
             assert 0 <= i < len(slam.keyframes)
             assert w > 0
+
+
+@pytest.mark.slow
+class TestCorridorDegeneracyRemedy:
+    """VERDICT r3 / ORACLE_CORRIDOR: the benign-corridor scene (seed 7)
+    drifts ~0.23-0.28 m ATE in pure odometry — scene-geometry degeneracy
+    (the f64 oracle drifts identically), not numerics.  The remedy the
+    reference implies by shipping GPS factors on its loop branch
+    (README.md:152-159) must rescue EXACTLY this scene: 1 Hz GPS priors
+    through `SLAM.update_gps` with the default `gps_optimize_every`
+    auto-optimize cadence."""
+
+    def _corridor(self, n=48, seed=7):
+        from fast_limo_tpu.io import synthetic
+
+        return synthetic.SyntheticSequence(
+            seed=seed, n_scans=n, points_per_scan=16384,
+            noise_pt=0.01, noise_gyro=5e-4, noise_acc=5e-3,
+            traj=synthetic.Trajectory(v_forward=15.0, yaw_amp=0.5))
+
+    def _cfg(self):
+        # the bench corridor config at 16k points (bench.kitti_like_cfg
+        # shapes; CPU-sized).  Synthetic world: bias-free IMU.
+        import bench
+
+        cfg = bench.kitti_like_cfg()
+        cfg.tpu.max_points_per_scan = 16384
+        cfg.tpu.quantize_transfer = 0.0
+        return cfg
+
+    def _run(self, with_gps: bool, n=48, seed=7):
+        from fast_limo_tpu.io import synthetic
+        from fast_limo_tpu.models.slam import SLAM, LoopConfig
+
+        seq = self._corridor(n, seed)
+        # straight corridor, no revisit: loop closure can't fire; keyframes
+        # at the default 2 m cadence anchor the GPS priors.  2 Hz GPS +
+        # auto-optimize every 5 factors ≈ a 2.5 s smoothing cadence.
+        slam = SLAM(self._cfg(), LoopConfig(gps_weight=20.0,
+                                            gps_optimize_every=5))
+        stamps, acc, gyro = seq.imu_stream()
+        scans = [seq.scan(i) for i in range(n)]
+        si = 0
+        last_gps = -1e9
+        for k in range(len(stamps)):
+            slam.update_imu(stamps[k], acc[k], gyro[k])
+            if with_gps and stamps[k] - last_gps >= 0.5:
+                last_gps = stamps[k]
+                gt = seq.traj.pos(np.asarray([stamps[k]]))[0]
+                slam.update_gps(stamps[k], gt + 0.02 * np.array([1, -1, 0.5]))
+            while si < n and scans[si][0] <= stamps[k]:
+                st, pts, traw = scans[si]
+                slam.update_pointcloud(pts, traw, st)
+                si += 1
+        slam.flush()     # final smoothing pass over pending GPS factors
+        est = slam.positions()
+        gt = seq.traj.pos(slam.stamps())
+        err = np.linalg.norm(np.asarray(est) - gt, axis=1)
+        # the SLAM trajectory estimate = the (retro-smoothed) keyframe poses;
+        # the dispatch-time per-scan log keeps pre-correction poses by design
+        kfp = np.array([kf.pos for kf in slam.keyframes])
+        kgt = seq.traj.pos(np.array([kf.stamp for kf in slam.keyframes]))
+        kerr = np.linalg.norm(kfp - kgt, axis=1)
+        kf_rmse = float(np.sqrt(np.mean(kerr ** 2)))
+        return kf_rmse, err, slam
+
+    def test_gps_priors_rescue_corridor_drift(self):
+        kf_odo, err_odo, _ = self._run(with_gps=False)
+        # precondition: the scene really is degenerate for pure odometry
+        # (CPU replay of the device-measured ORACLE_CORRIDOR drift; under
+        # the test env's x64 host path the CPU drift band is ~0.11-0.26 m
+        # RMSE — smaller than the device band but clearly degenerate)
+        assert err_odo.max() > 0.12, f"scene no longer degenerate: {err_odo.max()}"
+        assert kf_odo > 0.08
+
+        kf_gps, err_gps, slam = self._run(with_gps=True)
+        assert len(slam.gps_factors) >= 5, "GPS factors did not attach"
+        # smoothed trajectory pinned well under the pure-odometry drift
+        # (measured 0.037 vs 0.114 in this env)
+        assert kf_gps < 0.06, (kf_gps, kf_odo)
+        assert kf_gps < 0.5 * kf_odo
+        # the live (end-of-run) pose is corrected too, not just the past
+        assert err_gps[-1] < 0.5 * err_odo[-1], (err_gps[-1], err_odo[-1])
