@@ -9,9 +9,11 @@ dispatch is a fixed-shape padded batch with a validity mask, so a packet
 is just a small scan — feed it through `update_pointcloud` with the
 SWEEP's header stamp and the packet's per-point time subset, and deskew /
 matching / insertion proceed per packet at packet rate (lower latency,
-fresher map).  Loop-closure keyframing assumes full clouds; run packet
-mode with odometry (`SLAM(..., enable_loop_closure=False)` or a plain
-`Localizer`).
+fresher map).  Loop closure composes too (round 4): `SLAM` buffers the
+packet outputs of one sweep (they share the header stamp) and stitches
+them into a sweep-complete keyframe cloud, so ScanContext retrieval, ICP
+verification, GPS factors and the pose graph all run in packet mode
+(`tests/test_packets.py::test_packet_mode_closes_loops_like_full_sweeps`).
 
 `PacketSlicer` reproduces such a driver from full sweeps (replay/testing):
 it orders points by their timestamp and cuts the sweep into contiguous

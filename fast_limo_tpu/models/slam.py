@@ -134,6 +134,9 @@ class SLAM:
         self._rebuild_step = None           # cached jitted batch-rebuild fn
         self._rebuild_snapshot = None       # (P, map, stamps[:P], poses[:P])
         self.n_rebuilds = 0                 # observability (tests/telemetry)
+        self._sweep_buf: List[tuple] = []   # packet outputs of the open sweep
+        self._sweep_epoch = None
+        self._stitch_step = None            # cached jitted packet stitcher
         self._descriptor_step = None        # cached jitted SC descriptor fn
         self.loop_edges: List[tuple] = []   # (i, j, quat, trans, weight)
         self.n_loops_closed = 0
@@ -263,13 +266,64 @@ class SLAM:
                 continue
             sstamp, pos, quat = heads[hi]
             hi += 1
-            self._consider_keyframe(
-                i, float(epoch + float(sstamp)),
-                np.asarray(pos, np.float64), np.asarray(quat, np.float64),
-                out)
+            entry = (i, float(epoch + float(sstamp)),
+                     np.asarray(pos, np.float64), np.asarray(quat, np.float64),
+                     out.scan_body, out.final_valid)
+            # ---- sweep stitching (per-packet driver mode) ----
+            # Packets of one sweep arrive as separate dispatches sharing the
+            # sweep HEADER stamp (= the epoch; reference README.md:247).
+            # Keyframing needs sweep-complete clouds, so packet outputs
+            # buffer per epoch and flush as ONE stitched keyframe candidate
+            # when the next sweep begins.  Full-sweep mode: every dispatch
+            # has a fresh epoch → each buffer holds exactly one entry.
+            if self._sweep_buf and self._sweep_epoch == epoch:
+                self._sweep_buf.append(entry)
+                continue
+            self._flush_sweep()
+            self._sweep_epoch = epoch
+            self._sweep_buf = [entry]
+        if lag == 0:
+            # end-of-stream / materialization: consider the pending sweep
+            # now (in packet mode it may still be partial — the kf gates
+            # and a later re-consideration handle that)
+            self._flush_sweep()
+
+    def _flush_sweep(self):
+        """Emit the buffered sweep as one keyframe candidate."""
+        buf, self._sweep_buf = self._sweep_buf, []
+        if not buf:
+            return
+        scan_idx, stamp, pos, quat, body, valid = buf[-1]
+        if len(buf) > 1:
+            # stitch packet clouds into the LAST packet's body frame:
+            # body_L = R_Lᵀ(R_i·c_i + p_i − p_L) — one jitted step per
+            # packet count (packet counts are driver-constant)
+            import jax
+
+            p = len(buf)
+            if self._stitch_step is None or self._stitch_step[0] != p:
+                @jax.jit
+                def stitch(clouds, valids, quats, poss, qL, pL):
+                    world = jax.vmap(so3.quat_rotate)(quats, clouds) \
+                        + poss[:, None, :]
+                    bl = so3.quat_rotate(
+                        so3.quat_conj(qL),
+                        world.reshape(-1, 3) - pL)
+                    return bl, valids.reshape(-1)
+
+                self._stitch_step = (p, stitch)
+            clouds = jnp.stack([e[4] for e in buf])
+            valids = jnp.stack([e[5] for e in buf])
+            quats = jnp.asarray(np.stack([e[3] for e in buf]), clouds.dtype)
+            poss = jnp.asarray(np.stack([e[2] for e in buf]), clouds.dtype)
+            body, valid = self._stitch_step[1](
+                clouds, valids, quats, poss,
+                jnp.asarray(quat, clouds.dtype), jnp.asarray(pos, clouds.dtype))
+        self._consider_keyframe(scan_idx, stamp, pos, quat, body, valid)
 
     def _consider_keyframe(self, scan_idx: int, stamp: float,
-                           pos: np.ndarray, quat: np.ndarray, out):
+                           pos: np.ndarray, quat: np.ndarray,
+                           body_dev, valid_dev):
         if self.keyframes:
             last = self.keyframes[-1]
             dp = np.linalg.norm(pos - last.pos)
@@ -288,9 +342,8 @@ class SLAM:
             from fast_limo_tpu.models import pipeline as pl
 
             self._descriptor_step = pl.build_descriptor_step(self.cfg)
-        desc_dev = self._descriptor_step(out.scan_body, out.final_valid)
-        body, valid, desc = jax.device_get(
-            (out.scan_body, out.final_valid, desc_dev))
+        desc_dev = self._descriptor_step(body_dev, valid_dev)
+        body, valid, desc = jax.device_get((body_dev, valid_dev, desc_dev))
         body = np.asarray(body)
         sel = np.nonzero(np.asarray(valid))[0]
 

@@ -57,9 +57,14 @@ def masked_topk(cand_pts, cand_valid, queries, *, k: int, interpret: bool = Fals
     """
     N, C, _ = cand_pts.shape
     dtype = cand_pts.dtype
-    # pad N to a block multiple and C to the lane width
-    Np = (N + _BLK - 1) // _BLK * _BLK
+    # pad N to a block multiple and C to the lane width; the query block
+    # shrinks with the candidate width so the ~7 live (BLK, Cp) planes stay
+    # inside the 16 MB VMEM stack (the block map widened C 24 → 768)
     Cp = (C + 127) // 128 * 128
+    blk = _BLK
+    while blk > 64 and blk * 8 * Cp * 4 > 8 * 2 ** 20:
+        blk //= 2
+    Np = (N + blk - 1) // blk * blk
 
     def pad(a, val):
         return jnp.pad(a, ((0, Np - N), (0, Cp - C)), constant_values=val)
@@ -72,13 +77,13 @@ def masked_topk(cand_pts, cand_valid, queries, *, k: int, interpret: bool = Fals
     qy = jnp.pad(queries[:, 1], (0, Np - N))[:, None]
     qz = jnp.pad(queries[:, 2], (0, Np - N))[:, None]
 
-    cand_spec = pl.BlockSpec((_BLK, Cp), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    q_spec = pl.BlockSpec((_BLK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((_BLK, k), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    cand_spec = pl.BlockSpec((blk, Cp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((blk, k), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     sq, nx, ny, nz = pl.pallas_call(
         functools.partial(_topk_kernel, k=k),
-        grid=(Np // _BLK,),
+        grid=(Np // blk,),
         in_specs=[cand_spec, cand_spec, cand_spec, cand_spec,
                   q_spec, q_spec, q_spec],
         out_specs=(out_spec, out_spec, out_spec, out_spec),
