@@ -119,9 +119,12 @@ def make_seq(scene: str, seed: int, n_scans: int):
     """benign = the dense bench corridor; adversarial = sparse geometry
     (5× fewer surface points) + aggressive yaw (~90°/s peak) — the scene
     class that historically stressed the (now-retired) reduced-coverage
-    neighborhood knobs; kept as the sparse/high-rate stress band."""
+    neighborhood knobs, kept as the sparse/high-rate stress band;
+    dynamic = the benign corridor plus crossing vehicle-sized movers
+    (the KITTI-0071 regime the reference showcases, README.md:50-55)."""
     from fast_limo_tpu.io import synthetic as syn
 
+    dyn = 0
     if scene == "adversarial":
         world = syn.build_world(seed, n_wall_pts=30_000, n_ground_pts=30_000)
         traj = syn.Trajectory(v_forward=12.0, yaw_amp=1.4, yaw_freq=0.35,
@@ -129,10 +132,12 @@ def make_seq(scene: str, seed: int, n_scans: int):
     else:
         world = None
         traj = syn.Trajectory(v_forward=15.0, yaw_amp=0.5)
+        if scene == "dynamic":
+            dyn = 6
     return syn.SyntheticSequence(
         seed=seed, n_scans=n_scans, points_per_scan=32768,
         noise_pt=0.01, noise_gyro=5e-4, noise_acc=5e-3,
-        traj=traj, world=world)
+        traj=traj, world=world, dynamic_objects=dyn)
 
 
 def replay_ate(cfg, seq) -> float:
@@ -161,7 +166,8 @@ def ate_sweep(seeds, n_scans: int = 48) -> dict:
     reference-exact config + an adversarial scene, not one lucky seed)."""
     out = {}
     for knobs, cfg in (("fast", kitti_like_cfg()), ("exact", exact_cfg())):
-        for scene in ("benign", "adversarial"):
+        for scene in (("benign", "adversarial", "dynamic")
+                      if knobs == "fast" else ("benign", "adversarial")):
             ates = [replay_ate(cfg, make_seq(scene, s, n_scans))
                     for s in seeds]
             out[f"{knobs}_{scene}"] = {

@@ -223,11 +223,51 @@ class SyntheticSequence:
     bias_acc: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     traj: Trajectory = None
     world: np.ndarray = None
+    # ---- dynamic objects (KITTI-0071 regime, reference README.md:50-55:
+    # "dynamic objects (in this case, moving cars) are part of the map ...
+    # the pointcloud matching still works") — vehicle-sized boxes crossing
+    # the corridor; their returns REPLACE static returns in each scan and
+    # move WITHIN the sweep (per-point firing-time positions), so they
+    # stress deskew, matching gates and map pollution exactly like real
+    # movers
+    dynamic_objects: int = 0
+    dynamic_speed: float = 8.0      # m/s crossing speed
+    dynamic_size: Tuple[float, float, float] = (4.0, 1.8, 1.6)
+    dynamic_fraction: float = 0.08  # max fraction of scan points on movers
 
     def __post_init__(self):
         self.traj = self.traj or Trajectory()
         if self.world is None:
             self.world = build_world(self.seed)
+
+    # ---- dynamic-object kinematics (pure function of time) ----
+    def _object_state(self, o: int, t):
+        """Center position (…,3) of mover ``o`` at time ``t``: spaced along
+        the corridor, crossing it laterally (alternating directions)."""
+        t = np.asarray(t, float)
+        t_end = (self.n_scans + 1) / self.scan_rate
+        # place the crossing where the ego vehicle will be mid-sequence
+        frac = (o + 1) / (self.dynamic_objects + 1)
+        t_cross = frac * t_end
+        x_c = self.traj.pos(np.asarray([t_cross]))[0][0]
+        side = 1.0 if o % 2 == 0 else -1.0
+        y = side * 16.0 - side * self.dynamic_speed * (t - t_cross + 2.0)
+        z = np.full_like(t, self.dynamic_size[2] / 2)
+        return np.stack([np.broadcast_to(x_c, t.shape), y, z], axis=-1)
+
+    def _object_points(self, o: int, n: int, rng):
+        """Surface points on the mover's box, object frame (long axis = y:
+        the box travels along its crossing direction)."""
+        sx, sy, sz = self.dynamic_size
+        face = rng.integers(0, 5, n)        # 4 sides + roof
+        u = rng.uniform(-0.5, 0.5, n)
+        v = rng.uniform(0.0, 1.0, n)
+        px = np.where(face == 0, -sx / 2, np.where(face == 1, sx / 2, u * sx))
+        py = np.where(face == 2, -sy / 2, np.where(face == 3, sy / 2,
+                      rng.uniform(-0.5, 0.5, n) * sy))
+        pz = np.where(face == 4, sz, v * sz)
+        # long axis along the crossing (y) already; swap x↔y extents
+        return np.stack([px, py, pz], axis=-1)
 
     # Every draw is keyed by (seed, stream, index) so the data is a pure
     # function of the request: scan(i) returns bit-identical points no
@@ -274,6 +314,26 @@ class SyntheticSequence:
         # firing times spread over the sweep
         t_rel = rng.uniform(0.0, 1.0 / self.scan_rate, M)
         t_abs = stamp + t_rel
+
+        # dynamic objects: movers within range REPLACE static returns (a
+        # lidar return on a car occludes whatever was behind it); each
+        # return sees the object at ITS OWN firing time
+        if self.dynamic_objects:
+            drng = self._stream_rng(2, i)
+            for o in range(self.dynamic_objects):
+                c_now = self._object_state(o, np.asarray([stamp]))[0]
+                dist = np.linalg.norm(c_now - p0)
+                if dist < self.min_range + 2 or dist > self.max_range:
+                    continue
+                n_o = int(self.dynamic_fraction * M / max(
+                    1, self.dynamic_objects) * min(1.0, (25.0 / dist) ** 2))
+                if n_o < 8:
+                    continue
+                repl = drng.choice(M, n_o, replace=False)
+                body = self._object_points(o, n_o, drng)
+                centers = self._object_state(o, t_abs[repl])
+                pw[repl] = centers + body
+
         # exact sensor pose at firing time
         R = self.traj.rot(t_abs)                        # (M,3,3)
         p = self.traj.pos(t_abs)

@@ -31,7 +31,8 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
                  shard_axis: str = None, num_shards: int = 1,
                  query_axis: str = None, num_query_shards: int = 1,
                  knn_refresh: str = "always", x0: st.NavState = None,
-                 neighborhood: int = 27, with_debug: bool = False):
+                 neighborhood: int = 27, with_debug: bool = False,
+                 dynamic_gate: float = 0.0):
     """Build the measurement closures over baselink-frame points pc.
 
     Returns ``(h_rows, h_stats)`` where ``h_rows(x) -> (H (Nq,12), h (Nq,))``
@@ -120,6 +121,27 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
             nbrs, sq, vld, num_match_points=k,
             max_dist_plane=max_dist_plane, plane_threshold=plane_threshold)
         good = good & pc_valid
+        if dynamic_gate > 0:
+            # robust residual gate (MappingConfig.DYNAMIC_GATE): movers
+            # leave ~v·Δt residuals against their stale map imprints, far
+            # above the static cm-band — reject matches beyond
+            # gate·(two-pass robust mean |residual|), floored at 5 cm so
+            # clean scenes never self-tighten
+            ad = jnp.abs(plane_op.point_to_plane(n_abcd, glob))
+            gf = good.astype(ad.dtype)
+
+            def _means(w):
+                s, n = jnp.sum(ad * w), jnp.sum(w)
+                if query_axis is not None:
+                    import jax
+
+                    s = jax.lax.psum(s, query_axis)
+                    n = jax.lax.psum(n, query_axis)
+                return s / jnp.maximum(n, 1.0)
+
+            m1 = _means(gf)
+            m2 = _means(gf * (ad <= 3.0 * m1 + 0.05))
+            good = good & (ad <= jnp.maximum(dynamic_gate * m2, 0.05))
         # cap at MAX_NUM_MATCHES in point order (Localizer.cpp:539); with
         # query sharding the cap needs the exclusive prefix of lower shards
         local_cum = jnp.cumsum(good.astype(jnp.int32))

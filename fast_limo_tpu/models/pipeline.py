@@ -230,7 +230,8 @@ def build_scan_step(cfg: Config, *, donate: bool = True, jit: bool = True,
             shard_axis=shard_axis, num_shards=num_shards,
             query_axis=query_axis, num_query_shards=num_query_shards,
             knn_refresh=cfg.tpu.knn_refresh, x0=x_t2,
-            neighborhood=cfg.tpu.knn_neighborhood, with_debug=cfg.debug)
+            neighborhood=cfg.tpu.knn_neighborhood, with_debug=cfg.debug,
+            dynamic_gate=mp_cfg.DYNAMIC_GATE)
         h_stats = h_closures[1]
         upd = iekf.update_iterated(
             x_t2, P_t2, h_stats,

@@ -78,6 +78,14 @@ class MappingConfig:
     MAX_NUM_PC2MATCH: int = 10000
     MAX_DIST_PLANE: float = 2.0       # gate on kth-NN *squared* distance (Plane.cpp:45-48 w/ Octree sq dists)
     PLANE_THRESHOLD: float = 5.0e-2
+    # Robust residual gate for DYNAMIC scenes (no reference counterpart —
+    # the reference relies on most points being static, README.md:50-55):
+    # reject matches whose |point-to-plane residual| exceeds this multiple
+    # of the two-pass robust mean residual (floored at 0.05 m so clean
+    # scenes never self-tighten).  Movers leave ~v·Δt ≈ 0.5-1 m residuals
+    # against their stale map imprints — far above the static cm-level band
+    # — so the gate cuts exactly them.  0 disables (reference-exact).
+    DYNAMIC_GATE: float = 4.0
     octree: OctreeConfig = field(default_factory=OctreeConfig)
 
 

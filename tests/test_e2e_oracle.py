@@ -48,6 +48,9 @@ def e2e_cfg(estimate_extrinsics=False):
     cfg.tpu.knn_refresh = "always"        # reference-exact re-match/iteration
     cfg.tpu.knn_neighborhood = 27
     cfg.tpu.quantize_transfer = 0.0
+    # the robust dynamic-object gate is an additive divergence (no reference
+    # counterpart); the oracle pins REFERENCE-EXACT matching semantics
+    cfg.ikfom.mapping.DYNAMIC_GATE = 0.0
     cfg.ikfom.estimate_extrinsics = estimate_extrinsics
     return cfg
 
