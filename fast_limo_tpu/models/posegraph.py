@@ -9,9 +9,22 @@ dense Cholesky on the MXU beats sparse scalar pivoting by a mile on TPU.
 Edge residual (factor): r = log_se3(T_meas⁻¹ · T_i⁻¹ · T_j), 6-dim; node
 update is right-multiplicative (T ← T·exp(δ)).  Gauge fixed by node 0.
 
-Unary position priors (the GPS factors of the reference's loop branch,
+Position priors (the GPS factors of the reference's loop branch,
 README.md:152-159 — GPS assumed already converted into the odometry world
-frame): r = t_i − p_meas, 3-dim, accumulated into the same normal equations.
+frame): r = (1−α)·t_i + α·t_{i+1} − p_meas, 3-dim, accumulated into the same
+normal equations.  α=0 is the plain unary prior on node i; α>0 interpolates
+the two ADJACENT nodes bracketing the fix's timestamp, so a measurement
+taken between keyframes constrains the trajectory where it was taken
+instead of being odometry-transferred to one anchor (a transfer through a
+locally-wrong odometry segment bakes that segment's error into the prior
+target — the prior then CONFIRMS the bad pose; measured on the corridor
+transient, round 4).
+
+Robust kernels: ``optimize(robust_delta=δ)`` applies Huber IRLS to the edge
+set (weight × min(1, δ/‖r‖) re-evaluated every GN iteration) — the GTSAM
+robust-noise-model analog of the reference's loop branch; a single corrupted
+odometry edge then yields instead of dragging the whole chain.
+``robust_delta_priors`` does the same for the position priors (GPS glitches).
 """
 
 from __future__ import annotations
@@ -36,10 +49,11 @@ class PoseGraph(NamedTuple):
     edge_quat: jnp.ndarray   # (E,4) measured T_i→T_j rotation
     edge_trans: jnp.ndarray  # (E,3)
     edge_weight: jnp.ndarray  # (E,) information weight (0 = unused slot)
-    # unary position priors (GPS factors)
+    # position priors (GPS factors); alpha>0 interpolates nodes (i, i+1)
     prior_idx: jnp.ndarray    # (Pn,) int32 node index
     prior_pos: jnp.ndarray    # (Pn,3) measured world position
     prior_weight: jnp.ndarray  # (Pn,) information weight (0 = unused slot)
+    prior_alpha: jnp.ndarray  # (Pn,) interpolation toward node i+1 in [0,1)
     n_nodes: jnp.ndarray     # ()
     n_edges: jnp.ndarray     # ()
     n_priors: jnp.ndarray    # ()
@@ -60,6 +74,7 @@ def create(max_nodes: int, max_edges: int, max_priors: int = 0,
         prior_idx=jnp.zeros(max_priors, jnp.int32),
         prior_pos=jnp.zeros((max_priors, 3), dtype),
         prior_weight=jnp.zeros(max_priors, dtype),
+        prior_alpha=jnp.zeros(max_priors, dtype),
         n_nodes=jnp.asarray(0, jnp.int32),
         n_edges=jnp.asarray(0, jnp.int32),
         n_priors=jnp.asarray(0, jnp.int32),
@@ -88,20 +103,23 @@ def add_edge(g: PoseGraph, i, j, quat, trans, weight=1.0) -> PoseGraph:
     )
 
 
-def add_prior(g: PoseGraph, i, pos, weight=1.0) -> PoseGraph:
-    """Attach a unary position prior (GPS factor) to node ``i``."""
+def add_prior(g: PoseGraph, i, pos, weight=1.0, alpha=0.0) -> PoseGraph:
+    """Attach a position prior (GPS factor): unary on node ``i`` when
+    ``alpha`` is 0, else interpolated between nodes ``i`` and ``i+1``
+    (``r = (1−α)·t_i + α·t_{i+1} − pos``)."""
     p = g.n_priors
     return g._replace(
         prior_idx=g.prior_idx.at[p].set(jnp.asarray(i, jnp.int32)),
         prior_pos=g.prior_pos.at[p].set(pos),
         prior_weight=g.prior_weight.at[p].set(weight),
+        prior_alpha=g.prior_alpha.at[p].set(alpha),
         n_priors=p + 1,
     )
 
 
 def from_arrays(quat, trans, edge_i, edge_j, edge_quat, edge_trans,
                 edge_weight, prior_idx=None, prior_pos=None,
-                prior_weight=None, *, max_nodes: int = None,
+                prior_weight=None, prior_alpha=None, *, max_nodes: int = None,
                 max_edges: int = None, max_priors: int = None,
                 dtype=jnp.float32) -> PoseGraph:
     """Batched graph construction: ONE staging pass instead of K+E+P
@@ -155,6 +173,10 @@ def from_arrays(quat, trans, edge_i, edge_j, edge_quat, edge_trans,
         prior_weight=jnp.asarray(
             pad(np.asarray(prior_weight, np.float32) if P else
                 np.zeros(0, np.float32), max_priors), dtype),
+        prior_alpha=jnp.asarray(
+            pad(np.asarray(prior_alpha, np.float32)
+                if (P and prior_alpha is not None) else
+                np.zeros(0, np.float32), max_priors), dtype),
         n_nodes=jnp.asarray(K, jnp.int32),
         n_edges=jnp.asarray(E, jnp.int32),
         n_priors=jnp.asarray(P, jnp.int32),
@@ -170,14 +192,16 @@ def _edge_residual(qi, ti, qj, tj, qm, tm, di, dj):
     return se3.log(q_err, t_err)
 
 
-def _prior_residual(qi, ti, pm, di):
-    """Unary position residual with a right-perturbed node."""
-    _, ti2 = se3.compose(qi, ti, *se3.exp(di))
-    return ti2 - pm
+def _prior_residual(qa, ta, qb, tb, alpha, pm, da, db):
+    """Interpolated position residual with right-perturbed bracketing nodes
+    (α=0 degenerates to the unary prior on node a; ∂/∂δb is then zero)."""
+    _, ta2 = se3.compose(qa, ta, *se3.exp(da))
+    _, tb2 = se3.compose(qb, tb, *se3.exp(db))
+    return (1.0 - alpha) * ta2 + alpha * tb2 - pm
 
 
-def _chain_solve(g, wJi, wJj, Ji, Jj, wJp, Jp, r, rp, active, damping,
-                 cg_tol, cg_maxiter):
+def _chain_solve(g, wJi, wJj, Ji, Jj, wJpa, wJpb, Jpa, Jpb, r, rp, active,
+                 damping, cg_tol, cg_maxiter):
     """Structure-exploiting GN solve for near-chain graphs.
 
     SLAM pose graphs are an odometry CHAIN plus a handful of loop edges and
@@ -198,7 +222,12 @@ def _chain_solve(g, wJi, wJj, Ji, Jj, wJp, Jp, r, rp, active, damping,
     Aii = jnp.einsum("eab,eac->ebc", wJi, Ji)         # (E,6,6)
     Ajj = jnp.einsum("eab,eac->ebc", wJj, Jj)
     Aij = jnp.einsum("eab,eac->ebc", wJi, Jj)
-    App = jnp.einsum("eab,eac->ebc", wJp, Jp)         # (P,6,6)
+    # priors: diagonal blocks for both bracketing nodes + the (a, a+1)
+    # cross block (structurally in the chain band; zero when α=0)
+    Apaa = jnp.einsum("eab,eac->ebc", wJpa, Jpa)      # (P,6,6)
+    Apbb = jnp.einsum("eab,eac->ebc", wJpb, Jpb)
+    Apab = jnp.einsum("eab,eac->ebc", wJpa, Jpb)
+    pb = jnp.minimum(pidx + 1, K - 1)
 
     # edge/prior contributions into inactive rows must vanish (the dense
     # path zeroes those rows/cols of H afterwards)
@@ -207,15 +236,21 @@ def _chain_solve(g, wJi, wJj, Ji, Jj, wJp, Jp, r, rp, active, damping,
     Aii = jnp.where(a_i[:, None, None], Aii, 0.0)
     Ajj = jnp.where(a_j[:, None, None], Ajj, 0.0)
     Aij = jnp.where(both, Aij, 0.0)
-    App = jnp.where(active[pidx][:, None, None], App, 0.0)
+    a_pa, a_pb = active[pidx], active[pb]
+    Apaa = jnp.where(a_pa[:, None, None], Apaa, 0.0)
+    Apbb = jnp.where(a_pb[:, None, None], Apbb, 0.0)
+    Apab = jnp.where((a_pa & a_pb)[:, None, None], Apab, 0.0)
 
     D = jnp.zeros((K, 6, 6), dtype)
-    D = D.at[ei].add(Aii).at[ej].add(Ajj).at[pidx].add(App)
+    D = D.at[ei].add(Aii).at[ej].add(Ajj).at[pidx].add(Apaa).at[pb].add(Apbb)
     # chain off-diagonal blocks L_k couple (k, k+1); loop edges keep theirs
     # in a separate masked set for the matvec
     chain = (ej == ei + 1) & (g.edge_weight > 0)
     Lrow = jnp.where(chain, ei, K)                    # K → dropped
     L = jnp.zeros((K, 6, 6), dtype).at[Lrow].add(Aij, mode="drop")
+    # interp-prior cross blocks ride the same band (pb ≡ pidx+1 when α>0;
+    # Apab is exactly zero when α=0, so clamped unary priors add nothing)
+    L = L.at[jnp.minimum(pidx, K - 1)].add(Apab)
     loop = (~chain) & (g.edge_weight > 0)
     li = jnp.where(loop, ei, K)
     lj = jnp.where(loop, ej, K)
@@ -231,7 +266,8 @@ def _chain_solve(g, wJi, wJj, Ji, Jj, wJp, Jp, r, rp, active, damping,
     b = jnp.zeros((K, 6), dtype)
     b = b.at[ei].add(-jnp.einsum("eab,ea->eb", wJi, r))
     b = b.at[ej].add(-jnp.einsum("eab,ea->eb", wJj, r))
-    b = b.at[pidx].add(-jnp.einsum("eab,ea->eb", wJp, rp))
+    b = b.at[pidx].add(-jnp.einsum("eab,ea->eb", wJpa, rp))
+    b = b.at[pb].add(-jnp.einsum("eab,ea->eb", wJpb, rp))
     b = jnp.where(active[:, None], b, 0.0)
 
     # ---- block-Thomas factorization of M = tridiag(Lᵀ, D, L) ----
@@ -304,11 +340,20 @@ def _chain_solve(g, wJi, wJj, Ji, Jj, wJp, Jp, r, rp, active, damping,
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "edge_axis", "solver",
-                                             "cg_maxiter"))
+                                             "cg_maxiter", "robust_delta",
+                                             "robust_delta_priors"))
 def optimize(g: PoseGraph, *, iters: int = 10, damping: float = 1e-6,
              edge_axis: str = None, solver: str = "auto",
-             cg_tol: float = 1e-6, cg_maxiter: int = 96) -> PoseGraph:
+             cg_tol: float = 1e-6, cg_maxiter: int = 96,
+             robust_delta: float = 0.0,
+             robust_delta_priors: float = 0.0) -> PoseGraph:
     """Batched Gauss-Newton over all valid nodes/edges; node 0 held fixed.
+
+    ``robust_delta`` > 0 applies a Huber kernel of width δ (metres of
+    residual norm) to the EDGES via IRLS — each GN iteration scales an
+    edge's information weight by min(1, δ/‖r‖), so a single corrupted
+    odometry/loop edge saturates instead of dragging the chain.
+    ``robust_delta_priors`` is the same for the position priors.
 
     ``solver``: "dense" (6K×6K normal equations on the MXU — right on TPU
     and for small graphs), "chain" (block-tridiagonal-preconditioned PCG —
@@ -334,7 +379,8 @@ def optimize(g: PoseGraph, *, iters: int = 10, damping: float = 1e-6,
     res_fn = _edge_residual
     Ji_fn = jax.jacfwd(res_fn, argnums=6)
     Jj_fn = jax.jacfwd(res_fn, argnums=7)
-    Jp_fn = jax.jacfwd(_prior_residual, argnums=3)
+    Jpa_fn = jax.jacfwd(_prior_residual, argnums=6)
+    Jpb_fn = jax.jacfwd(_prior_residual, argnums=7)
 
     def gn_step(carry, it_sched):
         quat, trans = carry
@@ -349,26 +395,43 @@ def optimize(g: PoseGraph, *, iters: int = 10, damping: float = 1e-6,
             qi, ti, qj, tj, g.edge_quat, g.edge_trans, zero6, zero6)
 
         w = g.edge_weight                                                 # (E,)
+        if robust_delta > 0.0:
+            # Huber IRLS: re-evaluated each GN iteration at the current r
+            rn = jnp.sqrt(jnp.sum(r * r, axis=-1))
+            w = w * jnp.minimum(1.0, robust_delta / jnp.maximum(rn, 1e-12))
         wJi = Ji * w[:, None, None]
         wJj = Jj * w[:, None, None]
 
-        # unary GPS/position priors — replicated across devices, so they are
+        # GPS/position priors — replicated across devices, so they are
         # accumulated into SEPARATE normal-equation terms added after the
-        # edge psum (adding them before would count them axis-size times)
+        # edge psum (adding them before would count them axis-size times).
+        # α>0 priors interpolate the bracketing nodes (pidx, pidx+1).
+        K_last = K - 1
+        pb_idx = jnp.minimum(g.prior_idx + 1, K_last)
         qp, tp = quat[g.prior_idx], trans[g.prior_idx]
-        rp = jax.vmap(_prior_residual, in_axes=(0, 0, 0, None))(
-            qp, tp, g.prior_pos, zero6)                                   # (P,3)
-        Jp = jax.vmap(Jp_fn, in_axes=(0, 0, 0, None))(
-            qp, tp, g.prior_pos, zero6)                                   # (P,3,6)
+        qpb, tpb = quat[pb_idx], trans[pb_idx]
+        al = g.prior_alpha
+        rp = jax.vmap(_prior_residual,
+                      in_axes=(0, 0, 0, 0, 0, 0, None, None))(
+            qp, tp, qpb, tpb, al, g.prior_pos, zero6, zero6)              # (P,3)
+        Jpa = jax.vmap(Jpa_fn, in_axes=(0, 0, 0, 0, 0, 0, None, None))(
+            qp, tp, qpb, tpb, al, g.prior_pos, zero6, zero6)              # (P,3,6)
+        Jpb = jax.vmap(Jpb_fn, in_axes=(0, 0, 0, 0, 0, 0, None, None))(
+            qp, tp, qpb, tpb, al, g.prior_pos, zero6, zero6)
         wp = g.prior_weight
-        wJp = Jp * wp[:, None, None]
+        if robust_delta_priors > 0.0:
+            rpn = jnp.sqrt(jnp.sum(rp * rp, axis=-1))
+            wp = wp * jnp.minimum(1.0,
+                                  robust_delta_priors / jnp.maximum(rpn, 1e-12))
+        wJpa = Jpa * wp[:, None, None]
+        wJpb = Jpb * wp[:, None, None]
 
         active = g.node_valid.at[0].set(False)
 
         if use_chain:
             tol_i, maxiter_i = it_sched
-            delta = _chain_solve(g, wJi, wJj, Ji, Jj, wJp, Jp, r, rp,
-                                 active, damping, tol_i, maxiter_i)
+            delta = _chain_solve(g, wJi, wJj, Ji, Jj, wJpa, wJpb, Jpa, Jpb,
+                                 r, rp, active, damping, tol_i, maxiter_i)
         else:
             # scatter per-edge blocks into dense H (6K,6K), b (6K,)
             H = jnp.zeros((K, 6, K, 6), dtype)
@@ -384,11 +447,18 @@ def optimize(g: PoseGraph, *, iters: int = 10, damping: float = 1e-6,
             b = b.at[g.edge_i].add(-jnp.einsum("eab,ea->eb", wJi, r))
             b = b.at[g.edge_j].add(-jnp.einsum("eab,ea->eb", wJj, r))
 
-            Hp = jnp.zeros((K, 6, K, 6), dtype).at[
-                g.prior_idx, :, g.prior_idx, :].add(
-                jnp.einsum("eab,eac->ebc", wJp, Jp))
+            Hp = jnp.zeros((K, 6, K, 6), dtype)
+            Hp = Hp.at[g.prior_idx, :, g.prior_idx, :].add(
+                jnp.einsum("eab,eac->ebc", wJpa, Jpa))
+            Hp = Hp.at[pb_idx, :, pb_idx, :].add(
+                jnp.einsum("eab,eac->ebc", wJpb, Jpb))
+            Hp = Hp.at[g.prior_idx, :, pb_idx, :].add(
+                jnp.einsum("eab,eac->ebc", wJpa, Jpb))
+            Hp = Hp.at[pb_idx, :, g.prior_idx, :].add(
+                jnp.einsum("eab,eac->ebc", wJpb, Jpa))
             bp = jnp.zeros((K, 6), dtype).at[g.prior_idx].add(
-                -jnp.einsum("eab,ea->eb", wJp, rp))
+                -jnp.einsum("eab,ea->eb", wJpa, rp)).at[pb_idx].add(
+                -jnp.einsum("eab,ea->eb", wJpb, rp))
 
             Hd = H.reshape(6 * K, 6 * K)
             bd = b.reshape(6 * K)
@@ -450,7 +520,7 @@ def optimize_distributed(g: PoseGraph, mesh, *, iters: int = 10,
         quat=P(), trans=P(), node_valid=P(),
         edge_i=P(axis), edge_j=P(axis), edge_quat=P(axis),
         edge_trans=P(axis), edge_weight=P(axis),
-        prior_idx=P(), prior_pos=P(), prior_weight=P(),
+        prior_idx=P(), prior_pos=P(), prior_weight=P(), prior_alpha=P(),
         n_nodes=P(), n_edges=P(), n_priors=P())
 
     def inner(gg):

@@ -84,6 +84,11 @@ class LoopConfig:
                                     # the next rebuild re-inserts only the
                                     # keyframes after the stable prefix
                                     # (costs one map copy of memory)
+    robust_delta: float = 0.0       # m: Huber width for graph EDGES (IRLS,
+                                    # posegraph.optimize robust_delta) — a
+                                    # corrupted odometry/loop edge saturates
+                                    # instead of dragging the chain; 0 = off
+                                    # (pure quadratic, round-3 behavior)
     gps_weight: float = 5.0         # information weight of GPS position priors
     gps_time_tol: float = 0.25      # s: max |gps stamp − keyframe stamp| to attach
     gps_optimize_every: int = 10    # re-optimize (graph GN + map rebuild +
@@ -144,8 +149,14 @@ class SLAM:
         # GPS factors (reference loop branch, README.md:152-159): positions
         # must already be in the odometry world frame (ENU w/ shared origin)
         self._gps_buffer: List[tuple] = []   # (stamp, pos, weight) pending
-        self.gps_factors: List[tuple] = []   # (kf_index, pos, weight)
+        self.gps_factors: List[tuple] = []   # (kf_index, pos, weight, alpha)
         self._gps_since_opt = 0
+        # host-side per-scan pose log (stamp, pos) — already fetched by the
+        # capture path; gives GPS attachment a scan-resolution trajectory
+        # shape (the keyframe chord is off by the curvature sagitta: 0.28 m
+        # at 15 m/s over a 0.5 s keyframe gap, measured)
+        self._pose_log_t: List[float] = []
+        self._pose_log_p: List[np.ndarray] = []
 
     # ------------------------------------------------------------- feeding
     def update_imu(self, stamp, acc, gyro):
@@ -183,20 +194,20 @@ class SLAM:
             self._optimize_and_correct()
 
     def _attach_gps(self):
-        """Bind buffered fixes to keyframes, TIME-TRANSFERRED to the
-        keyframe's stamp.
+        """Bind buffered fixes to keyframes as INTERPOLATED position priors.
 
-        A fix measured at ``ts`` but attached to a keyframe at a different
-        stamp misplaces the prior by v·|Δt| — at highway speed and the
-        0.25 s tolerance that is metres, and a mid-run optimize then YANKS
-        the trajectory along-track (measured: +2.4 m live-pose jump on the
-        15 m/s corridor).  The transfer uses the engine's own short-horizon
-        odometry, which is mm-accurate over a keyframe gap: the prior
-        becomes ``pos + (kf.pos − est(ts))`` where ``est(ts)`` linearly
-        interpolates the estimated positions of the keyframes bracketing
-        ``ts`` — i.e. the GPS residual is evaluated where it was measured
-        and carried to the anchor node by relative odometry.  Fixes newer
-        than the newest keyframe wait in the buffer until bracketed."""
+        A fix measured at ``ts`` between the keyframes (a, b) bracketing it
+        becomes a two-node factor ``r = (1−α)·t_a + α·t_b − pos`` with
+        ``α = (ts − t_a)/(t_b − t_a)`` (`posegraph.prior_alpha`): the
+        measurement constrains the trajectory WHERE it was taken.  The
+        round-4 predecessor odometry-transferred the fix to the nearest
+        anchor (``pos + (kf.pos − est(ts))``) — correct timing, but when
+        the odometry segment itself carries a transient error the transfer
+        bakes that error into the prior target and the prior then CONFIRMS
+        the bad pose (measured: a 0.25 m filter transient at one keyframe
+        survived smoothing untouched).  The interpolated factor pins the
+        bracketing nodes to the raw measurement instead.  Fixes newer than
+        the newest keyframe wait in the buffer until bracketed."""
         if not self.keyframes:
             return
         tol = self.loop_cfg.gps_time_tol
@@ -215,20 +226,60 @@ class SLAM:
                     ka = kf
                     break
             if ka is None:
-                # older than every keyframe: no odometry to transfer along;
-                # attach raw only when the residual v·Δt error is bounded
+                # older than every keyframe: no bracket; attach raw (unary)
+                # only when the residual v·Δt error is bounded
                 if kb is not None and kb.stamp - ts <= tol:
-                    self.gps_factors.append((kb.index, pos, w))
+                    self.gps_factors.append((kb.index, pos, w, 0.0))
                     self._gps_since_opt += 1
                 continue                     # else: stale pre-map fix, drop
             span = kb.stamp - ka.stamp
             alpha = (ts - ka.stamp) / span if span > 1e-9 else 0.0
-            est_at_ts = (1.0 - alpha) * ka.pos + alpha * kb.pos
-            best = ka if (ts - ka.stamp) <= (kb.stamp - ts) else kb
-            corrected = np.asarray(pos, np.float64) + (best.pos - est_at_ts)
-            self.gps_factors.append((best.index, corrected, w))
+            if kb.index != ka.index + 1:     # thinning broke adjacency
+                alpha = 0.0 if alpha < 0.5 else 1.0
+            # curvature correction: the factor's linear-chord model
+            # (1−α)t_a + α·t_b is off by the trajectory's chord sagitta
+            # (0.28 m at 15 m/s over a 0.5 s keyframe gap, measured); the
+            # engine's own scan-rate pose log knows the local shape, so the
+            # target absorbs c = est_scan(ts) − chord(ts).  Errors enter c
+            # only as SECOND differences of the odometry error over the
+            # bracket — filter transients and smooth loop corrections cancel
+            # (a first-difference odometry transfer bakes them in whole).
+            target = np.asarray(pos, np.float64)
+            c = self._chord_correction(ts, ka, kb, alpha)
+            if c is not None:
+                target = target - c
+            if alpha >= 1.0 - 1e-6:          # lands on kb: plain unary
+                self.gps_factors.append((kb.index, target, w, 0.0))
+            else:
+                self.gps_factors.append((ka.index, target, w, float(alpha)))
             self._gps_since_opt += 1
         self._gps_buffer = keep
+
+    def _chord_correction(self, ts, ka, kb, alpha):
+        """``est_scan(ts) − ((1−α)·ka.pos + α·kb.pos)`` from the per-scan
+        pose log, or None when the log cannot bracket ``ts``.  Uses the
+        log's CAPTURE-time poses against the keyframes' capture-time poses
+        — consistent as long as later graph corrections vary smoothly over
+        the bracket (their second difference cancels)."""
+        import bisect
+
+        t_log = self._pose_log_t
+        n = len(t_log)
+        if n < 2 or ts < t_log[0] or ts > t_log[-1]:
+            return None
+        j = bisect.bisect_right(t_log, ts)
+        j = min(max(j, 1), n - 1)
+        t0, t1 = t_log[j - 1], t_log[j]
+        f = (ts - t0) / (t1 - t0) if t1 > t0 else 0.0
+        est = (1.0 - f) * self._pose_log_p[j - 1] + f * self._pose_log_p[j]
+        # keyframe capture-time positions: the log entries at their stamps
+        ia = bisect.bisect_left(t_log, ka.stamp)
+        ib = bisect.bisect_left(t_log, kb.stamp)
+        if (ia >= n or ib >= n or abs(t_log[ia] - ka.stamp) > 1e-6
+                or abs(t_log[ib] - kb.stamp) > 1e-6):
+            return None
+        pa, pb = self._pose_log_p[ia], self._pose_log_p[ib]
+        return est - ((1.0 - alpha) * pa + alpha * pb)
 
     # ------------------------------------------------------------- internals
     def _after_dispatch(self, lag: Optional[int] = None):
@@ -269,6 +320,8 @@ class SLAM:
             entry = (i, float(epoch + float(sstamp)),
                      np.asarray(pos, np.float64), np.asarray(quat, np.float64),
                      out.scan_body, out.final_valid)
+            self._pose_log_t.append(entry[1])
+            self._pose_log_p.append(entry[2])
             # ---- sweep stitching (per-packet driver mode) ----
             # Packets of one sweep arrive as separate dispatches sharing the
             # sweep HEADER stamp (= the epoch; reference README.md:247).
@@ -390,7 +443,11 @@ class SLAM:
         if len(self.keyframes) <= lc.max_keyframes:
             return
         protected = {i for e in self.loop_edges for i in e[:2]}
-        protected |= {i for (i, _p, _w) in self.gps_factors}
+        # interp GPS factors (alpha>0) need BOTH bracketing nodes — and
+        # them staying list-adjacent, which "both survive" guarantees
+        # (nothing sits between positions i and i+1)
+        protected |= {i for (i, _p, _w, _a) in self.gps_factors}
+        protected |= {i + 1 for (i, _p, _w, a) in self.gps_factors if a > 0}
         recent_from = len(self.keyframes) - lc.exclude_recent - 1
         always = {k for k in range(len(self.keyframes))
                   if k == 0 or k >= recent_from or k in protected}
@@ -419,7 +476,8 @@ class SLAM:
         self.loop_edges = [
             (remap[e[0]], remap[e[1]], *e[2:]) for e in self.loop_edges]
         self.gps_factors = [
-            (remap[i], p, w) for (i, p, w) in self.gps_factors if i in remap]
+            (remap[i], p, w, a) for (i, p, w, a) in self.gps_factors
+            if i in remap]
 
     def _detect_loop(self, kf: Keyframe):
         lc = self.loop_cfg
@@ -525,9 +583,10 @@ class SLAM:
             # edge measurement: pose of j in i's frame; ICP gave T_i←j
             ei.append(i); ej.append(j); eq.append(np.asarray(q))
             et.append(np.asarray(t)); ew.append(lc.loop_weight)
-        pi = [i for (i, _p, _w) in self.gps_factors]
-        pp = [p for (_i, p, _w) in self.gps_factors]
-        pw = [w for (_i, _p, w) in self.gps_factors]
+        pi = [i for (i, _p, _w, _a) in self.gps_factors]
+        pp = [p for (_i, p, _w, _a) in self.gps_factors]
+        pw = [w for (_i, _p, w, _a) in self.gps_factors]
+        pa = [a for (_i, _p, _w, a) in self.gps_factors]
         # capacities: the next power of two of the ACTUAL counts — the
         # Jacobian vmaps and PCG matvec run over the padded capacity, so
         # building at lc.max_edges (4096) paid 4× the work at E≈1100
@@ -536,12 +595,13 @@ class SLAM:
         cap_p = 1 << max(3, (len(pi) - 1).bit_length() if pi else 3)
         g = posegraph.from_arrays(
             quats, poss, ei, ej, eq, et, ew, pi or None, pp or None,
-            pw or None, max_nodes=max_nodes, max_edges=cap_e,
+            pw or None, pa or None, max_nodes=max_nodes, max_edges=cap_e,
             max_priors=cap_p)
 
         iters = (lc.optimize_iters if K <= 256 else
                  min(lc.optimize_iters, lc.optimize_iters_large))
-        g2, _ = posegraph.optimize(g, iters=iters)
+        g2, _ = posegraph.optimize(g, iters=iters,
+                                   robust_delta=lc.robust_delta)
 
         new_quat = np.asarray(g2.quat[:K])
         new_pos = np.asarray(g2.trans[:K])

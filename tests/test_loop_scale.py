@@ -74,7 +74,7 @@ class TestKeyframeCap:
         # a loop edge between kf 3 and kf 20
         stamp_a, stamp_b = s.keyframes[3].stamp, s.keyframes[20].stamp
         s.loop_edges.append((3, 20, np.array([1.0, 0, 0, 0]), np.zeros(3)))
-        s.gps_factors.append((10, np.zeros(3), 1.0))
+        s.gps_factors.append((10, np.zeros(3), 1.0, 0.0))
         stamp_g = s.keyframes[10].stamp
         for k in range(40, 60):
             kf = mk_kf(rng, len(s.keyframes), [k * 1.0, 0, 0])
@@ -85,7 +85,7 @@ class TestKeyframeCap:
         (i, j, _q, _t) = s.loop_edges[0]
         assert s.keyframes[i].stamp == stamp_a
         assert s.keyframes[j].stamp == stamp_b
-        (gi, _p, _w) = s.gps_factors[0]
+        (gi, _p, _w, _a) = s.gps_factors[0]
         assert s.keyframes[gi].stamp == stamp_g
 
     def test_edge_budget_trims_oldest_loops(self, rng):
