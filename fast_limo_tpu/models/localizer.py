@@ -35,6 +35,12 @@ class _PendingScan:
     points: np.ndarray
     t_raw: np.ndarray
     last_pt_time: float
+    # split-transfer stash (chunk==1): the scan payload is packed and its
+    # H2D copy STARTED at arrival — it has no IMU dependency, so the copy
+    # overlaps the previous scan's device compute (build_scan_step_split)
+    scan_buf: object = None     # device array (N,4) i16/f32
+    t_scale: float = 1.0
+    npts: int = 0
 
 
 class Localizer:
@@ -46,7 +52,7 @@ class Localizer:
         if self.chunk > 1:
             self.scan_step = pl.build_scan_chunk_step(cfg)
         else:
-            self.scan_step = pl.build_scan_step_packed(cfg)
+            self.scan_step = pl.build_scan_step_split(cfg)
         self.state: Optional[pl.LIOState] = None          # device state (after calib)
         self.epoch: Optional[float] = None                # absolute epoch (f64)
 
@@ -154,7 +160,14 @@ class Localizer:
         elif self.cfg.sensor_type == preprocess.LIVOX:
             t64 = t64 - stamp * 1e9
         t_raw32 = np.ascontiguousarray(t64, np.float32)
-        self._scan_queue.append(_PendingScan(stamp, points, t_raw32, last_pt))
+        scan = _PendingScan(stamp, points, t_raw32, last_pt)
+        if self.chunk == 1:
+            # start the payload H2D copy NOW (async): it overlaps whatever
+            # scan is currently in flight on the device — a copy issued at
+            # dispatch time instead serializes with it (probe_dispatch_gap)
+            sp, scan.t_scale, scan.npts = self._pack_points(scan)
+            scan.scan_buf = jnp.asarray(sp)
+        self._scan_queue.append(scan)
         self._drain()
 
     # ------------------------------------------------------------------ core
@@ -188,9 +201,48 @@ class Localizer:
                 return
             self._dispatch_chunk(scans)
 
-    def _pack_scan(self, scan: _PendingScan):
-        """(scan_pack (N,4), imu_pack (K,8)) for one scan; advances queues
-        and the epoch (see build_scan_step_packed for the layout)."""
+    def _pack_points(self, scan: _PendingScan):
+        """Scan payload half of the pack: no IMU/epoch dependency, so it
+        can run (and its H2D copy start) the moment the scan arrives.
+        Returns (scan_pack (N,4) host array, t_scale, npts)."""
+        cfg = self.cfg
+        N = cfg.tpu.max_points_per_scan
+        npts = len(scan.points)
+        if npts > N:
+            # uniform stride-downsample overflowing scans (static-shape cap)
+            sel = np.linspace(0, npts - 1, N).astype(np.int64)
+            pts, traw = scan.points[sel], scan.t_raw[sel]
+            npts = N
+        else:
+            pts, traw = scan.points, scan.t_raw
+
+        quant = float(cfg.tpu.quantize_transfer)
+        t_scale = 1.0
+        if quant > 0:
+            # native one-pass quantizer (csrc/fastlimo_host.cpp) — the NumPy
+            # chain below costs 1-2 ms/scan on the streaming host (measured,
+            # tools/probe_chunk_anomaly.py); the C pass ~0.1 ms
+            from fast_limo_tpu.io import native
+
+            packed = native.pack_scan_i16(
+                np.ascontiguousarray(pts, np.float32),
+                np.ascontiguousarray(traw, np.float32), N, quant)
+            if packed is not None:
+                scan_pack, t_scale, _n = packed
+            else:
+                # bit-identical NumPy twin (cross-host deterministic replay)
+                scan_pack, t_scale, _n = native.pack_scan_i16_numpy(
+                    np.ascontiguousarray(pts, np.float32),
+                    np.ascontiguousarray(traw, np.float32), N, quant)
+        else:
+            scan_pack = np.zeros((N, 4), np.float32)
+            scan_pack[:npts, :3] = pts
+            scan_pack[:npts, 3] = traw
+        return scan_pack, t_scale, npts
+
+    def _pack_imu(self, scan: _PendingScan, t_scale: float, npts: int):
+        """IMU half of the pack: consumes the IMU queue and advances the
+        epoch — must run in dispatch order.  Returns imu_pack (K,8)."""
         cfg = self.cfg
         # IMU batch: every pending sample up to (incl.) the first one ≥ scan end
         batch = []
@@ -215,42 +267,10 @@ class Localizer:
                       f"pre-integrated; sweep coverage starts {scan.stamp - batch[0][0]:.2f}s "
                       "before the scan stamp — consider raising tpu.imu_batch")
             self._consume_imu_overflow(overflow)
-        N = cfg.tpu.max_points_per_scan
-        npts = len(scan.points)
-        if npts > N:
-            # uniform stride-downsample overflowing scans (static-shape cap)
-            sel = np.linspace(0, npts - 1, N).astype(np.int64)
-            pts, traw = scan.points[sel], scan.t_raw[sel]
-            npts = N
-        else:
-            pts, traw = scan.points, scan.t_raw
 
         new_epoch = scan.stamp
         epoch_shift = 0.0 if self.epoch is None else new_epoch - self.epoch
         self.epoch = new_epoch
-
-        quant = float(cfg.tpu.quantize_transfer)
-        t_scale = 1.0
-        if quant > 0:
-            # native one-pass quantizer (csrc/fastlimo_host.cpp) — the NumPy
-            # chain below costs 1-2 ms/scan on the streaming host (measured,
-            # tools/probe_chunk_anomaly.py); the C pass ~0.1 ms
-            from fast_limo_tpu.io import native
-
-            packed = native.pack_scan_i16(
-                np.ascontiguousarray(pts, np.float32),
-                np.ascontiguousarray(traw, np.float32), N, quant)
-            if packed is not None:
-                scan_pack, t_scale, _n = packed
-            else:
-                # bit-identical NumPy twin (cross-host deterministic replay)
-                scan_pack, t_scale, _n = native.pack_scan_i16_numpy(
-                    np.ascontiguousarray(pts, np.float32),
-                    np.ascontiguousarray(traw, np.float32), N, quant)
-        else:
-            scan_pack = np.zeros((N, 4), np.float32)
-            scan_pack[:npts, :3] = pts
-            scan_pack[:npts, 3] = traw
 
         imu_pack = np.zeros((K, 8), np.float32)
         for i, (s, a, g) in enumerate(batch):
@@ -262,6 +282,16 @@ class Localizer:
         imu_pack[2, 7] = epoch_shift
         imu_pack[3, 7] = t_scale
         imu_pack[4, 7] = 1.0    # active (only read by the chunked step)
+        return imu_pack
+
+    def _pack_scan(self, scan: _PendingScan):
+        """(scan_pack (N,4), imu_pack (K,8)) for one scan; advances queues
+        and the epoch (see build_scan_step_packed for the layout).  The
+        chunked path and replay probes use this fused form; the chunk==1
+        streaming path splits it (`_pack_points` at arrival,
+        `_pack_imu` at dispatch)."""
+        scan_pack, t_scale, npts = self._pack_points(scan)
+        imu_pack = self._pack_imu(scan, t_scale, npts)
         return scan_pack, imu_pack
 
     def _consume_imu_overflow(self, samples) -> None:
@@ -301,13 +331,17 @@ class Localizer:
         elif self.epoch is None:   # loaded session with a fresh clock
             self._anchor_epoch(scan.stamp)
 
-        # exactly ONE host→device array per scan (each separate transfer
-        # costs a fixed RPC on a tunneled device — see build_scan_step_packed)
-        scan_pack, imu_pack = self._pack_scan(scan)
+        # split transfer: the payload buffer has been copying since the
+        # scan ARRIVED (update_pointcloud); only the tiny coverage-
+        # dependent (K,8) IMU pack uploads here
+        if scan.scan_buf is None:      # e.g. scans queued before a reset
+            sp, scan.t_scale, scan.npts = self._pack_points(scan)
+            scan.scan_buf = jnp.asarray(sp)
+        imu_pack = self._pack_imu(scan, scan.t_scale, scan.npts)
 
         self.telemetry.scan_begin()
         self.state, out = self.scan_step(
-            self.state, jnp.asarray(pl.fuse_packs(scan_pack, imu_pack)))
+            self.state, scan.scan_buf, jnp.asarray(imu_pack))
         self._maybe_evict(out.pos)
         if self.sync_timing:
             import jax

@@ -67,8 +67,13 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-E = 8        # entries per PLANAR subgroup (planarize / kernel decode unit)
-SUB = 2      # planar subgroups per hash-group row
+E = 16       # entries per PLANAR subgroup (planarize / kernel decode unit)
+SUB = 1      # planar subgroups per hash-group row.  Plane-major across the
+             # WHOLE row (round 4): the kNN kernel's decode slices are then
+             # 16-lane meta / 96-lane coordinate planes instead of 8/48 —
+             # half the op count at twice the lane utilization (the decode
+             # was ~35% of a 1.76 ms kernel; ops on sub-128-lane tiles pay
+             # full fixed cost for a fraction of the vector width)
 ROW_E = E * SUB  # voxel entries per hash group (free-election associativity)
 
 _BLOCK_CORNERS = jnp.array(
@@ -392,16 +397,25 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 0,
     new_stack = jnp.stack(shifted, axis=1)                   # (N,B,4)
     new_ok = jnp.stack(conts, axis=1)                        # (N,B)
 
-    # slot s takes new point (s - base) when that run point exists
+    # slot s takes new point (s - base) when that run point exists.  Select
+    # chains, NOT einsums: the one-hot contractions here are N batched
+    # (B,B)x(B,4) / (ROW_E)x(ROW_E,4B) matmuls — pathological MXU shapes
+    # that measured +0.4 ms at bench N; B selects on (N,B,4) are VPU noise.
     s_idx = jnp.arange(B, dtype=jnp.int32)
-    j_of_s = s_idx[None, :, None] - base[:, None, None]      # (N,B,1) offsets
-    sel_nj = (j_of_s == s_idx[None, None, :]) & new_ok[:, None, :]  # (N,B,B)
-    use_new = jnp.any(sel_nj, axis=-1)                       # (N,B)
-    new_part = jnp.einsum("nsj,njc->nsc", sel_nj.astype(jnp.float32), new_stack)
+    j_of_s = s_idx[None, :] - base[:, None]                  # (N,B) offsets
+    use_new = jnp.zeros((N, B), bool)
+    new_part = jnp.zeros((N, B, 4), jnp.float32)
+    for j in range(B):
+        pick = (j_of_s == j) & new_ok[:, j:j + 1]            # (N,B)
+        use_new = use_new | pick
+        new_part = jnp.where(pick[..., None],
+                             new_stack[:, j][:, None, :], new_part)
 
     # existing bucket of the matched entry (zero rows when no match)
-    exist = jnp.einsum("ne,nec->nc", match_e.astype(jnp.float32),
-                       ent[..., 4:]).reshape(N, B, 4)
+    exist = jnp.zeros((N, B, 4), jnp.float32)
+    ebuckets = ent[..., 4:].reshape(N, ROW_E, B, 4)
+    for e in range(ROW_E):
+        exist = jnp.where(match_e[:, e][:, None, None], ebuckets[:, e], exist)
     merged = jnp.where(use_new[..., None], new_part, exist)  # (N,B,4)
 
     n_placed = jnp.sum(use_new, axis=-1).astype(jnp.int32)   # new points stored
@@ -412,12 +426,15 @@ def insert(m: VoxelHashMap, pts, valid, *, voxel_size: float, probes: int = 0,
     # f32 ops — denormal flush / NaN canonicalization, measured on both
     # CPU and TPU backends) ----
     writer = is_leader & resolved
-    erow = jnp.where(writer, g * ROW_E + entry, G * ROW_E)   # OOB drops
+    # non-writers get DISTINCT out-of-bounds rows (dropped) so every index
+    # is unique and XLA can take the no-collision scatter lowering
+    lane = jnp.arange(N, dtype=jnp.int32)
+    erow = jnp.where(writer, g * ROW_E + entry, G * ROW_E + lane)
     evals = jnp.concatenate(
         [vc.astype(jnp.float32), final_count[:, None],
          merged.reshape(N, 4 * B)], axis=1)                  # (N,EW)
     flatE = m.table.reshape(G * ROW_E, EW)
-    flatE = flatE.at[erow].set(evals, mode="drop")
+    flatE = flatE.at[erow].set(evals, mode="drop", unique_indices=True)
     table = flatE.reshape(G, ROW_E * EW)
 
     # dtype pinned: under x64 jnp.sum would promote the int32 count to int64

@@ -197,7 +197,7 @@ def build_scan_step(cfg: Config, *, donate: bool = True, jit: bool = True,
             dist_active=cfg.filters.dist_active, min_dist=cfg.filters.min_dist,
             rate_active=cfg.filters.rate_active, rate_value=cfg.filters.rate_value,
             fov_active=cfg.filters.fov_active, fov_angle=cfg.filters.fov_angle,
-            time_offset=cfg.time_offset)
+            time_offset=cfg.time_offset, time_sort=cfg.tpu.time_sort)
 
         # ---- deskew into the Xt2 frame ----
         frames = dsk.frames_from_scan(
@@ -402,6 +402,58 @@ def build_scan_step_packed(cfg: Config, *, donate: bool = True):
         return inner(s, b)
 
     return jax.jit(packed_step, donate_argnums=(0,) if donate else ())
+
+
+def build_scan_step_split(cfg: Config, *, donate: bool = True):
+    """Two-buffer streaming entry point: scan payload and IMU pack ride
+    SEPARATE device arrays.
+
+    Rationale (tools/probe_dispatch_gap.py): the scan payload (≥128 KB)
+    does not depend on IMU coverage, so the host can start its H2D copy
+    the moment the scan ARRIVES — overlapping the transfer with the
+    previous scan's device compute — while the tiny (K,8) IMU pack (the
+    only coverage-dependent part) uploads at dispatch.  A transfer issued
+    right before its dispatch serializes with the in-flight step on the
+    tunnel (+2.4 ms/scan measured); split buffers hide the big half in
+    ALL regimes, including strict real-time arrival order where whole-scan
+    prefetch never fires (the next scan is not yet covered at dispatch).
+
+    Bit-identical semantics to `build_scan_step_packed` (same unpack; the
+    IMU rows skip the int16 bit-cast round-trip, which is lossless) — see
+    tests/test_pipeline.py::test_split_step_matches_packed.
+    """
+    inner = build_scan_step(cfg, donate=False, jit=False)
+    N = cfg.tpu.max_points_per_scan
+    K = cfg.tpu.imu_batch
+    assert K >= 4, "imu_batch must be >= 4 (aux column carries 4 scalars)"
+    quant = float(cfg.tpu.quantize_transfer)
+
+    def split_step(s: LIOState, scan_pack, imu_pack):
+        scan_pack = scan_pack.reshape(N, 4)
+        imu_pack = imu_pack.reshape(K, 8)
+        n_pts = imu_pack[0, 7].astype(jnp.int32)
+        n_imu = imu_pack[1, 7].astype(jnp.int32)
+        epoch_shift = imu_pack[2, 7]
+        if quant > 0:
+            points = scan_pack[:, :3].astype(jnp.float32) * quant
+            t_raw = scan_pack[:, 3].astype(jnp.float32) * imu_pack[3, 7]
+        else:
+            points = scan_pack[:, :3]
+            t_raw = scan_pack[:, 3]
+        b = ScanBatch(
+            points=points,
+            t_raw=t_raw,
+            valid=jnp.arange(N) < n_pts,
+            stamp=jnp.zeros((), jnp.float32),
+            epoch_shift=epoch_shift,
+            imu_acc=imu_pack[:, 0:3],
+            imu_gyro=imu_pack[:, 3:6],
+            imu_stamp=imu_pack[:, 6],
+            imu_valid=jnp.arange(K) < n_imu,
+        )
+        return inner(s, b)
+
+    return jax.jit(split_step, donate_argnums=(0,) if donate else ())
 
 
 def build_scan_chunk_step(cfg: Config, *, donate: bool = True):

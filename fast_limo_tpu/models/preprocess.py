@@ -37,12 +37,24 @@ def preprocess_scan(points, t_raw, valid, scan_stamp, imu_stamp, *,
                     dist_active: bool, min_dist: float,
                     rate_active: bool, rate_value: int,
                     fov_active: bool, fov_angle: float,
-                    time_offset: bool):
-    """Filter + time-sort a raw scan; all shapes static.
+                    time_offset: bool, time_sort: bool = True):
+    """Filter (+ optionally time-sort) a raw scan; all shapes static.
 
-    Returns (points_sorted (N,3), t_abs_sorted (N,) with offset applied,
-    valid_sorted (N,), scan_end_stamp ()).
-    Invalid points carry +inf time and sort to the tail.
+    Returns (points (N,3), t_abs (N,) with offset applied, valid (N,),
+    scan_end_stamp ()).  With ``time_sort`` invalid points carry +inf time
+    and sort to the tail (the reference's layout, Localizer.cpp — its
+    sequential deskew loop NEEDS time order).
+
+    ``time_sort=False`` keeps the original point order: every consumer
+    here is order-invariant — deskew selects each point's frame by
+    per-point time masks, the voxel downsample re-sorts by voxel key and
+    averages (so the pc2match/insert SETS are unchanged), and the
+    jnp-deskew ``searchsorted`` needs sorted FRAME times, not points.
+    The 32k argsort + permute costs ~0.6 ms/scan on the v5e — the sort is
+    an artifact of the reference's sequential loop, not of its semantics;
+    results differ only in f32 summation association inside voxel
+    centroids.  ``last_t`` comes from a masked max instead of the sorted
+    tail (identical value).
     """
     N = points.shape[0]
     valid = valid & jnp.all(jnp.isfinite(points), axis=-1)
@@ -59,14 +71,21 @@ def preprocess_scan(points, t_raw, valid, scan_stamp, imu_stamp, *,
         valid = valid & (jnp.abs(jnp.arctan2(points[:, 1], points[:, 0])) < fov_angle)
 
     t_abs = extract_point_times(t_raw, scan_stamp, sensor_type, end_of_sweep)
-    t_key = jnp.where(valid, t_abs, jnp.inf)
-    order = jnp.argsort(t_key)
-    points_s = points[order]
-    t_s = t_abs[order]
-    valid_s = valid[order]
-
-    n_valid = jnp.sum(valid_s)
-    last_t = jnp.where(n_valid > 0, t_s[jnp.maximum(n_valid - 1, 0)], scan_stamp)
+    if time_sort:
+        t_key = jnp.where(valid, t_abs, jnp.inf)
+        order = jnp.argsort(t_key)
+        points_s = points[order]
+        t_s = t_abs[order]
+        valid_s = valid[order]
+        n_valid = jnp.sum(valid_s)
+        last_t = jnp.where(n_valid > 0, t_s[jnp.maximum(n_valid - 1, 0)],
+                           scan_stamp)
+    else:
+        points_s, t_s, valid_s = points, t_abs, valid
+        n_valid = jnp.sum(valid_s)
+        last_t = jnp.where(
+            n_valid > 0,
+            jnp.max(jnp.where(valid_s, t_s, -jnp.inf)), scan_stamp)
 
     # automatic IMU/LiDAR sync offset, clamped ≤ 0 (Localizer.cpp:798-802)
     if time_offset:

@@ -94,12 +94,13 @@ def _kernel(rows_ref, nc_ref, qx_ref, qy_ref, qz_ref,
     for i in range(k):
         m = jnp.min(d2, axis=1, keepdims=True)           # (BLK,1)
         amin = jnp.argmin(d2, axis=1)[:, None]           # (BLK,1)
-        onehot = (col == amin).astype(f32)
+        hit = col == amin
+        onehot = hit.astype(f32)
         sq_ref[:, i] = m[:, 0]
         nx_ref[:, i] = jnp.sum(px * onehot, axis=1)
         ny_ref[:, i] = jnp.sum(py * onehot, axis=1)
         nz_ref[:, i] = jnp.sum(pz * onehot, axis=1)
-        d2 = jnp.where(col == amin, jnp.inf, d2)
+        d2 = jnp.where(hit, jnp.inf, d2)
 
 
 @functools.partial(jax.jit, static_argnames=("E", "B", "k", "interpret"))
@@ -116,11 +117,14 @@ def topk_from_rows_tpu(rows, nc, queries, *, E: int, B: int, k: int,
     assert WP == SUB * WP0
     dtype = queries.dtype
     WA = (V * WP + 127) // 128 * 128   # lane-pad; padded lanes never sliced
-    # queries per grid step, scaled to the VMEM stack budget (~16 MB): the
-    # live set is the row block plus ~10 (BLK, V·SUB·E·B) candidate planes
-    blk = _BLK
-    while blk > 64 and blk * (WA + 12 * V * SUB * E * B) * 4 > 8 * 2 ** 20:
-        blk //= 2
+    # queries per grid step, sized to the 16 MB VMEM stack: the compiler's
+    # measured live set is ~66 KB/query at bench shapes (row block + the
+    # d2/px/py/pz planes and their concat scratch) — blk 256 OOMs at 17 MB,
+    # so pick the largest candidate under a 15 MB estimate.  Bigger blocks
+    # amortize Mosaic per-op fixed costs over more sublanes.
+    per_q = (WA + 17 * V * SUB * E * B) * 4   # 17 planes ≈ the compiler's
+    blk = next((b for b in (256, 192, 128, 96, 64)  # 66 KB/q at bench shapes
+                if b * per_q <= 15 * 2 ** 20), 64)
     Np = (N + blk - 1) // blk * blk
 
     rows2 = rows.reshape(N, V * WP)

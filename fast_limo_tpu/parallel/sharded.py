@@ -111,12 +111,20 @@ def comm_volume(cfg: Config, n_map: int, n_data: int = 1) -> dict:
     cap_gather = (n_data - 1) * 4 * resolves if n_data > 1 else 0
     # replicated global num_points: one scalar (i32) psum over 'map'
     count_psum = 2 * (n_map - 1) / n_map * 4 if n_map > 1 else 0
+    # dynamic-object residual gate (MappingConfig.DYNAMIC_GATE): its
+    # two-pass robust mean needs 2 rounds × (Σ|r|, Σw) scalar psums over
+    # 'data' per resolve — 4 f32 scalars
+    gate = cfg.ikfom.mapping.DYNAMIC_GATE
+    gate_psum = (2 * (n_data - 1) / n_data * 4 * itemsize * resolves
+                 if (gate > 0 and n_data > 1) else 0)
     return {
         "knn_allgather_bytes": int(knn_gather),
         "cap_allgather_bytes": int(cap_gather),
         "hstats_psum_bytes": int(stats_psum),
+        "gate_psum_bytes": int(gate_psum),
         "num_points_psum_bytes": int(count_psum),
-        "total_bytes": int(knn_gather + cap_gather + stats_psum + count_psum),
+        "total_bytes": int(knn_gather + cap_gather + stats_psum + gate_psum
+                           + count_psum),
     }
 
 

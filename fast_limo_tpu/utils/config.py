@@ -123,6 +123,16 @@ class TPUConfig:
                                           # voxel_size from a 4³ superset); kept
                                           # so round-1..3 configs keep loading
     deskew_frames: int = 128              # max propagated states per scan window
+    time_sort: bool = False               # time-sort the scan in preprocess
+                                          # (the reference's layout; its
+                                          # SEQUENTIAL deskew loop needs it).
+                                          # The batched pipeline is order-
+                                          # invariant end to end (per-point
+                                          # frame masks; downsample re-sorts
+                                          # by voxel key), so the default
+                                          # skips the 32k argsort (~0.6 ms/
+                                          # scan on v5e); True restores the
+                                          # sorted layout bit-for-bit
     imu_batch: int = 64                   # max IMU samples integrated per scan step
     quantize_transfer: float = 0.0        # >0: ship scan points host→device as
                                           # int16 with this resolution (m/LSB);

@@ -330,11 +330,16 @@ class OracleLIO:
         else:
             t_abs = traw * 1e-9
         # sweep reference time is 0 in the packed layout (epoch-relative)
-        t_key = np.where(valid, t_abs, np.inf)
-        order = np.argsort(t_key, kind="stable")
-        pts, t_abs, valid = pts[order], t_abs[order], valid[order]
+        # (tpu.time_sort mirrors the engine: ordering only affects f32
+        # association downstream — in this f64 oracle it is immaterial,
+        # but mirroring keeps the which-point traces identical)
+        if cfg.tpu.time_sort:
+            t_key = np.where(valid, t_abs, np.inf)
+            order = np.argsort(t_key, kind="stable")
+            pts, t_abs, valid = pts[order], t_abs[order], valid[order]
         nv = int(valid.sum())
-        last_t = t_abs[nv - 1] if nv > 0 else 0.0
+        last_t = (np.max(t_abs[valid]) if nv > 0 else 0.0) \
+            if not cfg.tpu.time_sort else (t_abs[nv - 1] if nv > 0 else 0.0)
         if cfg.time_offset:
             offset = min(imu_stamp_now - last_t - 1e-4, 0.0)
         else:

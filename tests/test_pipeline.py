@@ -194,6 +194,14 @@ def test_packed_step_matches_unpacked(seq):
                      jax.tree_util.tree_leaves((s2, o2))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
 
+    # split layout (payload + imu as separate buffers, the chunk==1
+    # streaming path): bit-identical to both
+    sstep = pl.build_scan_step_split(cfg, donate=False)
+    s3, o3 = sstep(s0, jnp.asarray(scan_pack), jnp.asarray(imu_pack))
+    for a, bb in zip(jax.tree_util.tree_leaves((s1, o1)),
+                     jax.tree_util.tree_leaves((s3, o3))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
 
 def test_quantized_transfer_tracks(seq):
     """int16 transfer quantization (4 mm) must not disturb tracking."""

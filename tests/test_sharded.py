@@ -211,7 +211,8 @@ class TestShardedLifecycle:
         assert got["allgather_bytes"] == (
             model["knn_allgather_bytes"] + model["cap_allgather_bytes"])
         assert got["allreduce_bytes"] == (
-            model["hstats_psum_bytes"] + model["num_points_psum_bytes"])
+            model["hstats_psum_bytes"] + model["gate_psum_bytes"]
+            + model["num_points_psum_bytes"])
 
     def test_comm_model_matches_compiled_hlo_2d(self):
         cfg = ge._tiny_cfg(n_pts=512, map_cap=1024, n_shards=2)
@@ -223,4 +224,5 @@ class TestShardedLifecycle:
         assert got["allgather_bytes"] == (
             model["knn_allgather_bytes"] + model["cap_allgather_bytes"])
         assert got["allreduce_bytes"] == (
-            model["hstats_psum_bytes"] + model["num_points_psum_bytes"])
+            model["hstats_psum_bytes"] + model["gate_psum_bytes"]
+            + model["num_points_psum_bytes"])

@@ -42,17 +42,18 @@ def main():
     scans = [seq.scan(i) for i in range(n_warm + n_meas + 4)]
 
     # drive the localizer far enough to have a live state + compiled step,
-    # capturing the packed inputs it actually dispatches
+    # capturing the packed input PAIRS it actually dispatches (split-step
+    # layout: payload (N,4) + imu (K,8))
     packs = []
     orig_dispatch = loc._dispatch
 
     def capturing_dispatch(scan):
         sp, ip = loc._pack_scan(scan)
-        fused = pl.fuse_packs(sp, ip)
-        packs.append(fused)
+        packs.append((sp, ip))
         if loc.state is None:
             loc._init_device_state(scan.stamp)
-        loc.state, out = loc.scan_step(loc.state, jnp.asarray(fused))
+        loc.state, out = loc.scan_step(loc.state, jnp.asarray(sp),
+                                       jnp.asarray(ip))
         loc.last_output = out
         loc.last_output_scans = 1
         loc._raw_outputs.append((loc.epoch, out))
@@ -87,42 +88,40 @@ def main():
     use = packs[4:4 + n_meas]
 
     # A: device-resident inputs
-    dev_in = [jax.device_put(p) for p in use]
+    dev_in = [(jax.device_put(sp), jax.device_put(ip)) for (sp, ip) in use]
     jax.block_until_ready(dev_in)
 
     def feed_resident(s):
-        for b in dev_in:
-            s, _ = step(s, b)
+        for (bs, bi) in dev_in:
+            s, _ = step(s, bs, bi)
         return s
     run_chain(feed_resident, "A  device-resident inputs")
 
-    # B: per-scan transfer (asarray right before dispatch — streaming order)
+    # B: per-scan transfer of BOTH buffers right before dispatch
     def feed_transfer(s):
-        for p in use:
-            b = jnp.asarray(p)
-            s, _ = step(s, b)
+        for (sp, ip) in use:
+            s, _ = step(s, jnp.asarray(sp), jnp.asarray(ip))
         return s
-    run_chain(feed_transfer, "B  asarray-then-dispatch per scan")
+    run_chain(feed_transfer, "B  both transfers right before dispatch")
 
-    # B2: eager double-buffer (transfer i+1 issued right after dispatch i)
-    def feed_eager(s):
-        b = jnp.asarray(use[0])
+    # B2: production split pattern — payload i+1 uploaded right after
+    # dispatch i (arrival-time copy), imu at dispatch
+    def feed_split(s):
+        bs = jnp.asarray(use[0][0])
         for i in range(len(use)):
-            s, _ = step(s, b)
+            s, _ = step(s, bs, jnp.asarray(use[i][1]))
             if i + 1 < len(use):
-                b = jnp.asarray(use[i + 1])
+                bs = jnp.asarray(use[i + 1][0])
         return s
-    run_chain(feed_eager, "B2 transfer i+1 issued after dispatch i")
+    run_chain(feed_split, "B2 split: payload after dispatch i (production)")
 
-    # C: host pack + transfer + dispatch (bench-identical minus the queues)
-    raw = [(np.asarray(p), ) for p in use]
-
+    # C: host pack cost + both transfers + dispatch
     def feed_pack(s):
-        for (p,) in raw:
-            q = np.ascontiguousarray(p)    # stand-in for the pack cost
-            s, _ = step(s, jnp.asarray(q))
+        for (sp, ip) in use:
+            q = np.ascontiguousarray(sp)   # stand-in for the pack cost
+            s, _ = step(s, jnp.asarray(q), jnp.asarray(ip))
         return s
-    run_chain(feed_pack, "C  host-copy + transfer + dispatch")
+    run_chain(feed_pack, "C  host-copy + transfers + dispatch")
 
     # D: dispatch RTT floor — a trivial jitted program chained N times
     @jax.jit
@@ -144,16 +143,17 @@ def main():
 
     # E: device-only step time (single dispatch, lax.scan over all scans;
     # nested jit traces inline)
-    step_nodonate = pl.build_scan_step_packed(cfg, donate=False)
+    step_nodonate = pl.build_scan_step_split(cfg, donate=False)
 
     @jax.jit
-    def scan_loop(s, stack):
+    def scan_loop(s, stacks):
         def body(c, b):
-            c2, _ = step_nodonate(c, b)
+            c2, _ = step_nodonate(c, b[0], b[1])
             return c2, 0
-        out, _ = jax.lax.scan(body, s, stack)
+        out, _ = jax.lax.scan(body, s, stacks)
         return out
-    stack = jnp.stack([jnp.asarray(p) for p in use])
+    stack = (jnp.stack([jnp.asarray(sp) for (sp, _ip) in use]),
+             jnp.stack([jnp.asarray(ip) for (_sp, ip) in use]))
     s = jax.tree_util.tree_map(jnp.copy, state0)
     out = scan_loop(s, stack)
     jax.block_until_ready(out)

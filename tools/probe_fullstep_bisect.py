@@ -104,7 +104,7 @@ def main():
             rate_active=cfg.filters.rate_active,
             rate_value=cfg.filters.rate_value,
             fov_active=cfg.filters.fov_active, fov_angle=cfg.filters.fov_angle,
-            time_offset=cfg.time_offset)
+            time_offset=cfg.time_offset, time_sort=cfg.tpu.time_sort)
         if stage == "B":
             return jnp.mean(pts) + x_t2.pos[0]
 
@@ -169,10 +169,32 @@ def main():
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts)) / R
 
-    t_null = loop_time("Z") if False else 0.0
+    # in-process null: a body referencing a closure array, so it sits in
+    # the same tunnel regime as the stages (the tunnel is BIMODAL per
+    # process: ~0.1 ms/call vs ~23 ms/call fixed overhead — a null > 0.1
+    # ms/iter means this process is degraded; rerun it)
+    dummy = jnp.asarray(np.arange(32), jnp.float32)
+
+    @jax.jit
+    def run_null(c0):
+        def body(c, _):
+            return c + jnp.sum(dummy) * (c + 1.0) * 1e-12, None
+        out, _ = jax.lax.scan(body, c0, None, length=R)
+        return out
+
+    out = run_null(jnp.zeros(()))
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run_null(jnp.zeros(())))
+        ts.append(time.perf_counter() - t0)
+    t_null = float(np.median(ts)) / R * 1e3
+    print(f"null: {t_null:7.3f} ms/iter ({'FAST' if t_null < 0.1 else 'DEGRADED - rerun'})")
+
     prev = 0.0
     for stage in ("A", "B", "C", "D", "E", "F", "G"):
-        t = loop_time(stage) * 1e3
+        t = loop_time(stage) * 1e3 - t_null
         print(f"{stage}: {t:7.3f} ms  (+{t - prev:6.3f})")
         prev = t
 

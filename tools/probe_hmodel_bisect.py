@@ -97,9 +97,15 @@ def main():
             X, hstats_op.pack_scalars(x0), estimate_extrinsics=True)
         return c + HTH[0, 0] * 1e-12
 
+    # in-process null (see probe_fullstep_bisect: the tunnel is bimodal
+    # per process; null > 0.1 ms/iter = degraded regime, rerun)
+    dummy = jnp.asarray(np.arange(32), jnp.float32)
+    t_null = loop_time(lambda c: c + jnp.sum(dummy) * (c + 1.0) * 1e-12) * 1e3
+    print(f"null: {t_null:7.3f} ms/iter ({'FAST' if t_null < 0.1 else 'DEGRADED - rerun'})")
+
     prev = 0.0
     for stage in ("A", "B", "C", "D", "E"):
-        t = loop_time(lambda c, s=stage: upto(s, c)) * 1e3
+        t = loop_time(lambda c, s=stage: upto(s, c)) * 1e3 - t_null
         print(f"{stage}: {t:7.3f} ms  (+{t - prev:6.3f})")
         prev = t
 

@@ -62,6 +62,28 @@ def main():
         s, poss = jax.lax.scan(body, state, None, length=R)
         return s, poss
 
+    # in-process null: the tunnel is bimodal per process (~0.1 ms vs ~23 ms
+    # fixed per-call overhead); subtracting an R-iteration null loop that
+    # references a closure array removes the per-call share either way
+    dummy = jnp.asarray(np.arange(32), jnp.float32)
+
+    @jax.jit
+    def run_null(c0):
+        def body(c, _):
+            return c + jnp.sum(dummy) * (c + 1.0) * 1e-12, None
+        out, _ = jax.lax.scan(body, c0, None, length=R)
+        return out
+
+    jax.block_until_ready(run_null(jnp.zeros(())))
+    tsn = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run_null(jnp.zeros(())))
+        tsn.append(time.perf_counter() - t0)
+    t_null = float(np.median(tsn))
+    print(f"null loop                   : {t_null * 1e3 / R:7.2f} ms/iter "
+          f"({'FAST regime' if t_null / R < 1e-4 else 'degraded tunnel regime'})")
+
     s, poss = run(state, batch)
     jax.block_until_ready(poss)
     ts = []
@@ -70,9 +92,9 @@ def main():
         s2, poss = run(state, batch)
         jax.block_until_ready(poss)
         ts.append(time.perf_counter() - t0)
-    dt = float(np.median(ts))
+    dt = float(np.median(ts)) - t_null
     print(f"full scan step (device)     : {dt * 1e3 / R:7.2f} ms/step "
-          f"({R} steps, median of 5)")
+          f"({R} steps, median of 5, null-corrected)")
 
 
 if __name__ == "__main__":
