@@ -215,6 +215,56 @@ def corridor_gps_band(seed: int = 7, n_scans: int = 48) -> dict:
     return out
 
 
+def soak_band(n_scans: int = 192) -> dict:
+    """Compact long-run soak at bench shapes (VERDICT r4 #8's bench line;
+    tests/test_soak.py is the full 400-scan CPU gate): ~2.7 laps of the
+    closed circuit with loop closure, keyframe thinning and eviction armed.
+    Reports loops closed, keyframe RMSE, and the LAST-lap RMSE (the tail
+    only stays tight if loop corrections keep landing)."""
+    from fast_limo_tpu.models.slam import SLAM, LoopConfig
+
+    traj = synthetic.LoopTrajectory(v_forward=4.0, radius=9.0, ramp_tau=0.8)
+    world = synthetic.build_loop_world(11, radius=9.0)
+    seq = synthetic.SyntheticSequence(
+        seed=11, n_scans=n_scans, points_per_scan=16384, scan_rate=5.0,
+        noise_pt=0.01, noise_gyro=8e-4, noise_acc=8e-3, max_range=25.0,
+        traj=traj, world=world)
+    # bench shapes (32k buffers, 16k live points): the scan pipeline is
+    # REUSED from the streaming phase's compile — only the small SLAM-side
+    # programs (descriptor/ICP/graph) compile fresh
+    cfg = kitti_like_cfg()
+    slam = SLAM(cfg, LoopConfig(
+        kf_dist=2.0, exclude_recent=20, sc_dist_thresh=0.28,
+        icp_min_inliers=150, loop_weight=30.0, max_keyframes=64,
+        loop_cooldown=3.0))
+    slam.loc.evict_radius = 30.0
+    slam.loc.evict_occupancy = 0.002
+    stamps, acc, gyro = seq.imu_stream()
+    scans = [seq.scan(i) for i in range(n_scans)]
+    si = 0
+    for k in range(len(stamps)):
+        slam.update_imu(stamps[k], acc[k], gyro[k])
+        while si < n_scans and scans[si][0] <= stamps[k]:
+            st_, pts, traw = scans[si]
+            slam.update_pointcloud(pts, traw, st_)
+            si += 1
+    slam.flush()
+    kfp = np.array([kf.pos for kf in slam.keyframes])
+    kgt = seq.traj.pos(np.array([kf.stamp for kf in slam.keyframes]))
+    est = np.asarray(slam.positions())
+    gt = seq.traj.pos(slam.stamps())
+    tail = slice(-60, None)
+    return {
+        "scans": n_scans,
+        "loops": int(slam.n_loops_closed),
+        "keyframes": len(slam.keyframes),
+        "kf_rmse": round(float(np.sqrt(np.mean(
+            np.sum((kfp - kgt) ** 2, axis=1)))), 3),
+        "tail_rmse": round(float(np.sqrt(np.mean(
+            np.sum((est[tail] - gt[tail]) ** 2, axis=1)))), 3),
+    }
+
+
 def _measure_stream(cfg, stamps, acc, gyro, scans, n_warm, epoch_len):
     """Replay the stream; return (best-epoch scans/s, epoch_times, loc).
 
@@ -287,6 +337,7 @@ def main():
     # {benign, adversarial} scenes (deterministic replays — see replay_ate)
     ate_bands = ate_sweep(seeds=[3, 7, 13])
     ate_bands["corridor_gps"] = corridor_gps_band()
+    soak = soak_band()
 
     print(json.dumps({
         "metric": "scan_throughput",
@@ -298,6 +349,7 @@ def main():
         "ms_per_scan": round(1000.0 * elapsed / epoch_len, 2),
         "epochs_scans_per_s": [round(epoch_len / t, 1) for t in epoch_times],
         "replay_chunk4_scans_per_s": round(chunk4_scans_per_s, 2),
+        "soak": soak,
         "device": str(jax.devices()[0]),
     }))
 

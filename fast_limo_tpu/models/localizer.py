@@ -412,7 +412,11 @@ class Localizer:
         # scan step just dispatched (a hot-path device sync, the same stall
         # class _bound_retention avoids). The decision lags one cadence
         # (16 scans ≈ 1.6 s); evict_occupancy leaves headroom for that.
-        probe, self._evict_probe = self._evict_probe, self.state.map.num_points
+        # jnp.copy: the state pytree is DONATED to the next scan step, so a
+        # bare reference to its num_points leaf would be a deleted buffer
+        # by the time the next cadence mark reads it (async copy, no sync)
+        probe, self._evict_probe = self._evict_probe, jnp.copy(
+            self.state.map.num_points)
         if probe is None:
             return
         cap = self.cfg.tpu.map_capacity * self.cfg.map_points_per_voxel

@@ -73,6 +73,12 @@ class LoopConfig:
                                     # cap-sized optimize under the 100 ms
                                     # real-time budget (test_loop_scale)
     loop_weight: float = 5.0
+    loop_cooldown: float = 0.0      # s: skip loop DETECTION within this
+                                    # window of the last accepted closure.
+                                    # On a continuous revisit every new
+                                    # keyframe re-closes (each paying a
+                                    # graph optimize + map rebuild) for
+                                    # near-zero added correction; 0 = off
     rebuild_eps: float = 0.01       # m: skip the post-optimize map rebuild
                                     # when NO keyframe moved farther than
                                     # this (a GPS micro-adjust moves poses
@@ -145,6 +151,7 @@ class SLAM:
         self._descriptor_step = None        # cached jitted SC descriptor fn
         self.loop_edges: List[tuple] = []   # (i, j, quat, trans, weight)
         self.n_loops_closed = 0
+        self._last_loop_stamp = -np.inf
         self._last_scan_count = 0
         # GPS factors (reference loop branch, README.md:152-159): positions
         # must already be in the odometry world frame (ENU w/ shared origin)
@@ -484,6 +491,12 @@ class SLAM:
         n = len(self.keyframes)
         if n <= lc.exclude_recent + 1:
             return
+        if (lc.loop_cooldown > 0
+                and kf.stamp - self._last_loop_stamp < lc.loop_cooldown):
+            # throttle: on a continuous revisit EVERY keyframe would close
+            # a loop, each paying a graph optimize + map rebuild — after a
+            # correction just landed, the next closure adds ~nothing
+            return
         cands = self.keyframes[: n - 1 - lc.exclude_recent]
         # odometry-proximity gate: drift is bounded, so genuine revisits are
         # near the current estimate — kills the rotational-symmetry aliases
@@ -549,6 +562,7 @@ class SLAM:
         self.loop_edges.append((cand.index, kf.index,
                                 np.asarray(res.quat), np.asarray(res.trans)))
         self.n_loops_closed += 1
+        self._last_loop_stamp = kf.stamp
         self._optimize_and_correct()
 
     def _optimize_and_correct(self):
