@@ -56,6 +56,17 @@ class Localizer:
         self.state: Optional[pl.LIOState] = None          # device state (after calib)
         self.epoch: Optional[float] = None                # absolute epoch (f64)
 
+        # Stable capture hook (the ONE supported way to observe the exact
+        # per-scan device payload): when set, called as
+        # ``on_dispatch(scan_pack, imu_pack)`` with the host (N,4) scan rows
+        # and (K,8) IMU rows (layout of `pipeline.build_scan_step_packed`)
+        # in dispatch order, on EVERY dispatch path — split (chunk==1) and
+        # chunked.  Internal refactors of the transfer scheme MUST keep this
+        # firing: tests/test_e2e_oracle.py (the f64 oracle) and
+        # tests/test_batched.py (fleet equivalence) replay these packs.
+        # Consumers must copy arrays they retain.
+        self.on_dispatch = None
+
         self._imu_queue: deque = deque()                  # (stamp, acc, gyro) pending
         self._scan_queue: deque = deque()
         self._newest_imu_stamp: float = -np.inf
@@ -338,6 +349,9 @@ class Localizer:
             sp, scan.t_scale, scan.npts = self._pack_points(scan)
             scan.scan_buf = jnp.asarray(sp)
         imu_pack = self._pack_imu(scan, scan.t_scale, scan.npts)
+        if self.on_dispatch is not None:
+            # host copy of the payload buffer: exactly what the device sees
+            self.on_dispatch(np.asarray(scan.scan_buf), imu_pack)
 
         self.telemetry.scan_begin()
         self.state, out = self.scan_step(
@@ -372,6 +386,8 @@ class Localizer:
         for i, scan in enumerate(scans):
             scan_packs[i], imu_packs[i] = self._pack_scan(scan)
             epochs.append(self.epoch)
+            if self.on_dispatch is not None:
+                self.on_dispatch(scan_packs[i], imu_packs[i])
 
         self.telemetry.scan_begin()
         self.state, out = self.scan_step(
@@ -624,7 +640,9 @@ class Localizer:
         """Persist the full SLAM state (filter + map + carries)."""
         if self.state is None:
             raise RuntimeError("nothing to checkpoint yet")
+        from fast_limo_tpu.models import mapper
         ckpt.save_state(path, self.state, extra={
+            "map_layout": mapper.layout_version(self.cfg.map_points_per_voxel),
             "epoch": self.epoch,
             "imu_calibrated": self.imu_calibrated,
             "init_bg": self.init_bg.tolist(),
@@ -641,6 +659,20 @@ class Localizer:
         template = self.state if self.state is not None else pl.init_state(self.cfg)
         self.state = ckpt.load_state(path, template)
         extra = ckpt.load_extra(path)
+        from fast_limo_tpu.models import mapper
+        want = mapper.layout_version(self.cfg.map_points_per_voxel)
+        got = extra.get("map_layout")
+        if got is not None and got != want:
+            raise ValueError(
+                f"checkpoint map layout {got!r} != current {want!r} — "
+                "this checkpoint was written by an incompatible table layout")
+        # The planar mirror is a pure derivation of the entry-major table:
+        # rebuild it unconditionally so even a stamp-less (pre-round-5)
+        # checkpoint from an older lane layout resumes with a correct kNN
+        # mirror instead of a lane-scrambled one (ADVICE r4, medium).
+        m = self.state.map
+        self.state = self.state._replace(map=m._replace(
+            ptable=mapper._planarize(m.table, m.bucket)))
         self.epoch = extra.get("epoch")
         self.imu_calibrated = bool(extra.get("imu_calibrated", True))
         self.init_bg = np.asarray(extra.get("init_bg", self.init_bg))

@@ -119,10 +119,11 @@ class VoxelHashMap(NamedTuple):
     kernel (ops/knn_rows.py) decodes a gathered row with static contiguous
     slices (entry-major rows need either per-lane register columns, which
     blow the VMEM stack, or one-hot selector matmuls, which burn ~1 ms of
-    f32 MXU per scan — both measured).  The row's ROW_E entries are split
-    into SUB=2 planar subgroups so the planarize permutation stays the same
-    (E·EW → sub_width) matmul as the voxel-hashed design, applied at
-    (G·SUB) rows.
+    f32 MXU per scan — both measured).  Since round 4 the mirror is
+    plane-major across the WHOLE row (SUB=1: one planar subgroup of
+    E=ROW_E entries), so the kernel's decode slices are full 16/96-lane
+    planes; the planarize permutation is the same (E·EW → sub_width)
+    matmul, applied at (G·SUB) rows.
     """
 
     table: jnp.ndarray       # (G, W) float32 entry-major rows
@@ -168,6 +169,17 @@ class VoxelHashMap(NamedTuple):
     def meta(self):
         """(G·ROW_E, 4) int32 [vx, vy, vz, count] compatibility view."""
         return jnp.concatenate([self.coords, self.counts[:, None]], axis=1)
+
+
+def layout_version(bucket: int) -> str:
+    """Stamp identifying the on-device table layouts.
+
+    Stored in checkpoint ``extra``; `Localizer.load_checkpoint` rejects
+    mismatches and ALWAYS rebuilds the planar mirror, so a layout-only
+    revision (e.g. the round-4 E/SUB lane reorder, which kept the exact
+    array shapes) can never resume with a lane-scrambled kNN mirror
+    (ADVICE r4)."""
+    return f"block2x2x2/E{E}/SUB{SUB}/B{int(bucket)}"
 
 
 def create(capacity: int, bucket: int, dtype=jnp.float32) -> VoxelHashMap:

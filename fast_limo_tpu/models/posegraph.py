@@ -410,7 +410,12 @@ def optimize(g: PoseGraph, *, iters: int = 10, damping: float = 1e-6,
         pb_idx = jnp.minimum(g.prior_idx + 1, K_last)
         qp, tp = quat[g.prior_idx], trans[g.prior_idx]
         qpb, tpb = quat[pb_idx], trans[pb_idx]
-        al = g.prior_alpha
+        # an α>0 prior on the LAST valid node would interpolate toward a
+        # zero-initialized invalid neighbor (pb_idx is only capacity-
+        # clamped) — degrade such priors to unary (α=0) instead of
+        # blending garbage into the residual (ADVICE r4)
+        al = jnp.where(g.node_valid[pb_idx], g.prior_alpha,
+                       jnp.zeros_like(g.prior_alpha))
         rp = jax.vmap(_prior_residual,
                       in_axes=(0, 0, 0, 0, 0, 0, None, None))(
             qp, tp, qpb, tpb, al, g.prior_pos, zero6, zero6)              # (P,3)

@@ -95,6 +95,9 @@ class LoopConfig:
                                     # corrupted odometry/loop edge saturates
                                     # instead of dragging the chain; 0 = off
                                     # (pure quadratic, round-3 behavior)
+    robust_delta_priors: float = 0.0  # m: Huber width for GPS position
+                                    # priors — a glitched fix saturates
+                                    # instead of yanking its nodes; 0 = off
     gps_weight: float = 5.0         # information weight of GPS position priors
     gps_time_tol: float = 0.25      # s: max |gps stamp − keyframe stamp| to attach
     gps_optimize_every: int = 10    # re-optimize (graph GN + map rebuild +
@@ -107,7 +110,6 @@ class LoopConfig:
                                     # 0 disables auto-optimize (round-3
                                     # behavior: factors only apply at the
                                     # next loop closure).
-                                    # even without a loop closure (0 = only on loops)
 
 
 @dataclass
@@ -614,8 +616,9 @@ class SLAM:
 
         iters = (lc.optimize_iters if K <= 256 else
                  min(lc.optimize_iters, lc.optimize_iters_large))
-        g2, _ = posegraph.optimize(g, iters=iters,
-                                   robust_delta=lc.robust_delta)
+        g2, _ = posegraph.optimize(
+            g, iters=iters, robust_delta=lc.robust_delta,
+            robust_delta_priors=lc.robust_delta_priors)
 
         new_quat = np.asarray(g2.quat[:K])
         new_pos = np.asarray(g2.trans[:K])
@@ -789,6 +792,20 @@ class SLAM:
 
     def load_session(self, prefix: str, reset_clock: bool = True) -> None:
         self.loc.load_checkpoint(prefix + ".state.npz", reset_clock=reset_clock)
+        # clear per-run carries whose time base belongs to the PREVIOUS run
+        # (mirrors localizer.reset_clock): a stale pose log would feed wrong
+        # _chord_correction targets to GPS priors, and stale GPS/loop
+        # bookkeeping would reference the old run's keyframe indices
+        self._pose_log_t = []
+        self._pose_log_p = []
+        self._last_loop_stamp = -np.inf
+        self._last_scan_count = 0
+        self._gps_buffer = []
+        self.gps_factors = []
+        self._gps_since_opt = 0
+        self._sweep_buf = []
+        self._sweep_epoch = None
+        self._rebuild_snapshot = None
         d = np.load(prefix + ".keyframes.npz")
         self.keyframes = []
         has_rebuild = "rebuild_cloud" in d.files   # pre-r3 sessions lack it

@@ -21,25 +21,23 @@ def _make_batches(cfg, seed, n_scans):
         traj=synthetic.Trajectory(v_forward=5.0, yaw_amp=0.3))
     loc = Localizer(cfg)
     captured = []
-    orig = loc.scan_step
     N, K = cfg.tpu.max_points_per_scan, cfg.tpu.imu_batch
 
-    def capture(s, pack):
-        # rebuild the logical ScanBatch from the fused transfer buffer
-        # (f32 mode: [scan rows | imu rows] — see pipeline.fuse_packs)
-        scan_pack = pack[: N * 4].reshape(N, 4)
-        imu_pack = pack[N * 4:].reshape(K, 8)
+    def on_dispatch(scan_pack, imu_pack):
+        # rebuild the logical ScanBatch from the stable capture hook's
+        # (N,4)/(K,8) host packs (layout: build_scan_step_packed docstring)
+        sp = np.array(scan_pack, np.float32, copy=True)
+        ip = np.array(imu_pack, np.float32, copy=True)
         captured.append(pl.ScanBatch(
-            points=scan_pack[:, :3], t_raw=scan_pack[:, 3],
-            valid=jnp.arange(N) < imu_pack[0, 7].astype(jnp.int32),
+            points=jnp.asarray(sp[:, :3]), t_raw=jnp.asarray(sp[:, 3]),
+            valid=jnp.arange(N) < int(ip[0, 7]),
             stamp=jnp.zeros((), jnp.float32),
-            epoch_shift=imu_pack[2, 7],
-            imu_acc=imu_pack[:, 0:3], imu_gyro=imu_pack[:, 3:6],
-            imu_stamp=imu_pack[:, 6],
-            imu_valid=jnp.arange(K) < imu_pack[1, 7].astype(jnp.int32)))
-        return orig(s, pack)
+            epoch_shift=jnp.asarray(ip[2, 7]),
+            imu_acc=jnp.asarray(ip[:, 0:3]), imu_gyro=jnp.asarray(ip[:, 3:6]),
+            imu_stamp=jnp.asarray(ip[:, 6]),
+            imu_valid=jnp.arange(K) < int(ip[1, 7])))
 
-    loc.scan_step = capture
+    loc.on_dispatch = on_dispatch
     stamps, acc, gyro = seq.imu_stream()
     scans = [seq.scan(i) for i in range(n_scans)]
     si = 0
@@ -49,6 +47,9 @@ def _make_batches(cfg, seed, n_scans):
             st, pts, traw = scans[si]
             loc.update_pointcloud(pts, traw, st)
             si += 1
+    assert len(captured) == n_scans, (
+        f"on_dispatch hook recorded {len(captured)}/{n_scans} scans — "
+        "the Localizer capture hook is disconnected from the dispatch path")
     return captured, loc
 
 

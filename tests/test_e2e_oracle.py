@@ -19,12 +19,16 @@ from test_pipeline import small_cfg
 
 
 class RecordingLocalizer(Localizer):
-    """Captures the packed per-scan inputs + the initial device state."""
+    """Captures the packed per-scan inputs + the initial device state via
+    the stable ``Localizer.on_dispatch`` capture hook (the supported way to
+    observe the exact per-scan device payload on every dispatch path)."""
 
     def __init__(self, cfg):
         super().__init__(cfg)
         self.records = []
         self.init_snap = None
+        self.on_dispatch = lambda sp, ip: self.records.append(
+            (np.array(sp, copy=True), np.array(ip, copy=True)))
 
     def _init_device_state(self, first_stamp):
         super()._init_device_state(first_stamp)
@@ -37,10 +41,6 @@ class RecordingLocalizer(Localizer):
             "last_prop_time": float(self.state.last_prop_time),
         }
 
-    def _pack_scan(self, scan):
-        sp, ip = super()._pack_scan(scan)
-        self.records.append((sp.copy(), ip.copy()))
-        return sp, ip
 
 
 def e2e_cfg(estimate_extrinsics=False):
@@ -69,7 +69,12 @@ def run_pair(cfg, n_scans=40, seed=3):
             st, pts, traw = scans[si]
             loc.update_pointcloud(pts, traw, st)
             si += 1
-    assert len(loc.records) == n_scans
+    # FAIL LOUDLY if the capture hook ever disconnects from the dispatch
+    # path again (round-4 regression: a transfer refactor silently broke a
+    # monkey-patch-based recorder and the oracle ran on zero records)
+    assert len(loc.records) == n_scans, (
+        f"on_dispatch hook recorded {len(loc.records)}/{n_scans} scans — "
+        "the Localizer capture hook is disconnected from the dispatch path")
 
     orc = po.OracleLIO(cfg, loc.init_snap["x"], loc.init_snap["P"],
                        loc.init_snap["last_prop_time"])

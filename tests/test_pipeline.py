@@ -266,6 +266,44 @@ def test_chunked_dispatch_matches_single(seq):
     assert abs(n1 - n4) <= max(3, 0.001 * n1)
 
 
+def test_on_dispatch_hook_fires_on_all_paths(seq):
+    """The stable capture hook (Localizer.on_dispatch) must fire once per
+    scan, in dispatch order, on BOTH dispatch paths (split chunk==1 and
+    chunked), and ship identical packs — the f64-oracle and fleet harnesses
+    depend on it (round-4 regression: a transfer refactor silently
+    disconnected monkey-patch-based recorders)."""
+    n = 5
+    stamps, acc, gyro = seq.imu_stream()
+    scans = [seq.scan(i) for i in range(n)]
+
+    def run(cfg):
+        loc = Localizer(cfg)
+        packs = []
+        loc.on_dispatch = lambda sp, ip: packs.append(
+            (np.array(sp, copy=True), np.array(ip, copy=True)))
+        si = 0
+        for k in range(len(stamps)):
+            loc.update_imu(stamps[k], acc[k], gyro[k])
+            while si < n and scans[si][0] <= stamps[k]:
+                st, pts, traw = scans[si]
+                loc.update_pointcloud(pts, traw, st)
+                si += 1
+        loc.flush()
+        return packs
+
+    packs1 = run(small_cfg())
+    cfg2 = small_cfg()
+    cfg2.tpu.scan_chunk = 2
+    packs2 = run(cfg2)
+    assert len(packs1) == len(packs2) == n
+    for (s1, i1), (s2, i2) in zip(packs1, packs2):
+        np.testing.assert_array_equal(s1, s2)
+        np.testing.assert_array_equal(i1[:, :7], i2[:, :7])
+        # aux column: counts/epoch_shift/t_scale agree; the chunked path
+        # additionally sets the active flag (aux[4])
+        np.testing.assert_array_equal(i1[:4, 7], i2[:4, 7])
+
+
 class TestInsertPopulation:
     """Reference-exact insertion: MAX_NUM_PC2MATCH caps MATCHING only
     (Mapper.cpp:63-69); the full downsampled cloud is registered and

@@ -91,6 +91,49 @@ class TestCheckpoint:
         with pytest.raises(ValueError):
             ckpt.load_state(p, pl.init_state(cfg2))
 
+    def test_localizer_restore_rebuilds_planar_mirror(self, tmp_path):
+        """load_checkpoint must (a) rebuild the kNN planar mirror from the
+        entry-major table — a checkpoint whose stored ptable has a stale
+        lane layout (e.g. pre-round-4 E/SUB ordering, same shapes) must
+        resume with a CORRECT mirror — and (b) reject checkpoints whose
+        layout stamp disagrees (ADVICE r4, medium)."""
+        from fast_limo_tpu.models import mapper
+        from fast_limo_tpu.models.localizer import Localizer
+
+        cfg = ge._tiny_cfg()
+        loc = Localizer(cfg)
+        loc.state = pl.init_state(cfg)
+        rngl = np.random.default_rng(1)
+        pts = jnp.asarray(rngl.uniform(-5, 5, (200, 3)).astype(np.float32))
+        loc.state = loc.state._replace(map=mapper.insert(
+            loc.state.map, pts, jnp.ones(200, bool),
+            voxel_size=cfg.map_voxel_size))
+        loc.epoch = 5.0
+        p = str(tmp_path / "ck.npz")
+        loc.save_checkpoint(p)
+
+        # simulate an old-layout mirror: scramble the stored ptable lanes
+        # (shape-preserving, like the round-4 E/SUB reorder)
+        import json
+        d = dict(np.load(p, allow_pickle=False))
+        key = [k for k in d if k.endswith("ptable")][0]
+        d[key] = d[key][:, ::-1].copy()
+        np.savez_compressed(p, **d)
+
+        loc2 = Localizer(cfg)
+        loc2.load_checkpoint(p)
+        want = mapper._planarize(loc2.state.map.table, loc2.state.map.bucket)
+        np.testing.assert_array_equal(np.asarray(loc2.state.map.ptable),
+                                      np.asarray(want))
+
+        # stamp mismatch → loud rejection
+        meta = json.loads(str(d["__meta__"]))
+        meta["extra"]["map_layout"] = "block2x2x2/E8/SUB2/B2"
+        d["__meta__"] = json.dumps(meta)
+        np.savez_compressed(p, **d)
+        with pytest.raises(ValueError, match="map layout"):
+            Localizer(cfg).load_checkpoint(p)
+
     def test_pcd_roundtrip(self, tmp_path):
         from fast_limo_tpu.models import mapper
 
