@@ -88,9 +88,9 @@ def kitti_like_cfg() -> Config:
     cfg.tpu.imu_batch = 32
     cfg.tpu.hash_probes = 4
     cfg.tpu.insert_probes = 2
-    # resolve the voxel neighborhood once per scan instead of per update
-    # iteration (pose moves millimetrically between iterations; ATE parity
-    # verified on the synthetic benchmark — see tpu.knn_refresh docs)
+    # knn_refresh is a retired no-op since round 5: every config runs the
+    # certified exact re-match (reference semantics at resolve-once cost,
+    # measurement.make_h_model); the knob stays for config compatibility
     cfg.tpu.knn_refresh = "first"
     # int16 host→device scan payload (4 mm LSB — below lidar noise; ATE
     # verified unchanged): halves the per-scan transfer on the tunnel
@@ -105,10 +105,11 @@ def kitti_like_cfg() -> Config:
 
 
 def exact_cfg() -> Config:
-    """Reference-exact knob set: re-match every iteration (h_share_model
-    re-matches unconditionally, use-ikfom.cpp:10-31), full-precision
-    transfer.  Coverage is identical to the fast set since round 4 (the
-    block map gives every config the 27-cube guarantee)."""
+    """Reference-exact knob set.  Matching semantics are identical to the
+    fast set since round 5 (every config runs the certified exact
+    re-match — h_share_model semantics, use-ikfom.cpp:10-31); what remains
+    of the split is transfer precision (full f32 vs int16-quantized) and
+    the reference's time-sorted scan layout."""
     cfg = kitti_like_cfg()
     cfg.tpu.knn_refresh = "always"
     cfg.tpu.quantize_transfer = 0.0

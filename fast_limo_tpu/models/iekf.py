@@ -371,11 +371,11 @@ def update_iterated(
 
     use_kernel = dispatch.kernel_enabled("update_body") and dtype == jnp.float32
 
-    # Whole-loop fast path: with frozen correspondences the ENTIRE masked
-    # iteration loop (incl. per-iteration h-stats) is one Pallas launch
-    # (ops/update_loop.py); its ok-certificate (Gershgorin ≥ D every active
-    # iteration + atan-series regime) gates an exact-semantics fallback to
-    # the per-iteration loop below.
+    # Whole-loop fast path: the ENTIRE masked iteration loop (incl.
+    # per-iteration h-stats over the certified frozen correspondences) is
+    # one Pallas launch (ops/update_loop.py); its ok-certificate
+    # (atan-series regime + the per-query re-match stability margins) gates
+    # an exact-semantics fallback to the per-iteration loop below.
     loop_pack = getattr(h_model, "loop_pack", None)
     use_loop_kernel = (use_kernel and loop_pack is not None
                        and dispatch.kernel_enabled("update_loop"))
@@ -480,7 +480,8 @@ def update_iterated(
 
     xk, Pk, nit_k, ok, g_k, me_k = update_loop.update_loop_tpu(
         loop_pack, P_prop, x_prop, R, D, limit, max_iters=max_iters,
-        estimate_extrinsics=h_model.loop_extrinsics)
+        estimate_extrinsics=h_model.loop_extrinsics,
+        with_cert=getattr(h_model, "loop_cert", False))
     x_o, P_o, n_o, g_o, me_o = jax.lax.cond(
         ok, lambda: (xk, Pk, nit_k, g_k, me_k), run_loop)
     if with_diag:

@@ -19,8 +19,8 @@ channel stack — [px py pz nx ny nz nd keep] as full (Nr,128) tiles — so all
 per-point math is full-width VPU elementwise work and the 12×12/12
 sufficient statistics are 90 tile reductions.  All packed inputs are
 x-INDEPENDENT: the per-iteration call re-sends only 14 state scalars via
-SMEM, and the frozen-correspondence mode (tpu.knn_refresh="first") packs
-once per scan, outside the iteration loop.
+SMEM, and the certified frozen-correspondence pack (measurement.
+make_h_model) is built once per scan, outside the iteration loop.
 
 `hstats_reference` mirrors the exact jnp semantics for parity tests.
 """
@@ -66,13 +66,15 @@ def hstats_reference(pc, n_abcd, keep, x: st.NavState, estimate_extrinsics):
     return H.T @ H, H.T @ h
 
 
-def stats_math(chans, s, *, estimate_extrinsics: bool):
+def stats_math(chans, s, *, estimate_extrinsics: bool, with_glob: bool = False):
     """The full per-iteration statistics chain on register values.
 
     ``chans`` = 8 (Nr,128) channel tiles [px py pz nx ny nz nd keep];
     ``s`` = 14 state scalars [rot(wxyz), pos, rot_LI(wxyz), t_LI].
-    Returns ``(HᵀH (M,M), Hᵀh (M,))``.  Shared by the single-call kernel
-    below and the whole-loop update kernel (ops/update_loop.py)."""
+    Returns ``(HᵀH (M,M), Hᵀh (M,))``; with ``with_glob`` additionally the
+    world-frame query tiles ``(gx, gy, gz)`` (the re-match certificate in
+    ops/update_loop.py measures per-point displacement from them).  Shared
+    by the single-call kernel below and the whole-loop update kernel."""
     px, py, pz, nx, ny, nz, nd, keep = chans
     qw, qx, qy, qz = s[0], s[1], s[2], s[3]
     tx, ty, tz = s[4], s[5], s[6]
@@ -140,6 +142,8 @@ def stats_math(chans, s, *, estimate_extrinsics: bool):
     HTh = jnp.stack([
         jnp.sum(cols[j] * hneg) if cols[j] is not None else zero
         for j in range(M)])
+    if with_glob:
+        return HTH, HTh, (gx, gy, gz)
     return HTH, HTh
 
 

@@ -26,9 +26,18 @@ runs the reference's eigh guard EXACTLY via an in-kernel 6×6 Jacobi
 eigensolve with ascending sort (ops/update_body.jacobi_guard_head) —
 degenerate scans stay on the fast path.
 
-Only valid for frozen correspondences (``tpu.knn_refresh="first"``): with
-re-matching per iteration ("always") the kNN gather cannot live in the
-kernel and the caller keeps the per-iteration path.
+In-kernel re-match certificate (round 5, ``with_cert``).  The pack's 9th
+channel carries per-query squared stability margins (models/measurement.py
+docstring: voxel-band, kNN-set, close-gate and dynamic-gate margins); each
+iteration the kernel measures every point's world-frame displacement from
+the frozen-resolve pose (iteration 0's glob — the iterate STARTS at
+x_prop, where the correspondences were resolved) and ANDs
+``disp² < margin²`` into ``ok``.  While the certificate holds, a full
+per-iteration re-match would reproduce the frozen correspondences and
+gates exactly, so the frozen pack IS the reference's re-match-every-
+iteration semantics; when it fails the caller re-runs the exact
+per-iteration loop (whose own certified fast path falls back to a true
+re-gather per iteration).
 """
 
 from __future__ import annotations
@@ -133,9 +142,11 @@ def _boxminus(xn, xp):
 
 
 def _loop_kernel(X_ref, P_ref, sc_ref, xn_ref, Pf_ref, aux_ref,
-                 *, estimate_extrinsics: bool, Nr: int, max_iters: int):
+                 *, estimate_extrinsics: bool, Nr: int, max_iters: int,
+                 with_cert: bool):
     f32 = jnp.float32
     chans = tuple(X_ref[i * Nr:(i + 1) * Nr, :] for i in range(8))
+    m2 = X_ref[8 * Nr:9 * Nr, :] if with_cert else None
     xp = [sc_ref[0, i] for i in range(XF)]           # x_prop flattened
     inv_R = sc_ref[0, XF]
     limit = sc_ref[0, XF + 1]
@@ -154,6 +165,7 @@ def _loop_kernel(X_ref, P_ref, sc_ref, xn_ref, Pf_ref, aux_ref,
     gersh_min = jnp.asarray(jnp.inf, f32)
     min_eig = jnp.asarray(jnp.inf, f32)
 
+    g0 = None
     for it in range(max_iters + 1):
         xs = [x[i] for i in range(XF)]
         state_scalars = (
@@ -161,8 +173,22 @@ def _loop_kernel(X_ref, P_ref, sc_ref, xn_ref, Pf_ref, aux_ref,
             jnp.stack(xs[11:14]), jnp.stack(xs[14:17]), jnp.stack(xs[17:20]),
             jnp.stack(xs[20:23]), jnp.stack(xs[23:26]))
         hs = xs[3:7] + xs[0:3] + xs[7:11] + xs[11:14]   # rot pos rotLI tLI
-        HTH, HTh = stats_math(chans, hs,
-                              estimate_extrinsics=estimate_extrinsics)
+        if with_cert:
+            HTH, HTh, glob = stats_math(
+                chans, hs, estimate_extrinsics=estimate_extrinsics,
+                with_glob=True)
+            if it == 0:
+                # the iterate STARTS at x_prop == the frozen-resolve pose,
+                # so iteration 0's glob IS the resolve-time glob0
+                g0 = glob
+            else:
+                disp2 = ((glob[0] - g0[0]) ** 2 + (glob[1] - g0[1]) ** 2
+                         + (glob[2] - g0[2]) ** 2)
+                bad = jnp.sum(jnp.where(disp2 >= m2, 1.0, 0.0))
+                ok = ok & (done | (bad == 0.0))
+        else:
+            HTH, HTh = stats_math(chans, hs,
+                                  estimate_extrinsics=estimate_extrinsics)
         xn, Pf, dx_, gersh, me = _iter_core(
             HTH, HTh, P, dx, state_scalars, gp, inv_R, guard_D=D)
 
@@ -192,25 +218,27 @@ def _loop_kernel(X_ref, P_ref, sc_ref, xn_ref, Pf_ref, aux_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "estimate_extrinsics", "max_iters", "interpret"))
+    "estimate_extrinsics", "max_iters", "with_cert", "interpret"))
 def update_loop_tpu(X, P, x_prop: st.NavState, R, D, limit, *,
                     max_iters: int, estimate_extrinsics: bool,
-                    interpret: bool = False):
+                    with_cert: bool = False, interpret: bool = False):
     """All masked update iterations in one launch.
 
-    ``X`` is the frozen-correspondence channel pack (hstats.pack_inputs).
+    ``X`` is the frozen-correspondence channel pack (hstats.pack_inputs);
+    with ``with_cert`` a 9th channel block carries the per-query squared
+    re-match stability margins (measurement.make_h_model).
     Returns ``(x_next (NavState), P_fin (23,23), n_iters (), ok (),
     gersh_min (), min_eig ())`` — the degeneracy guard runs EXACTLY
-    in-kernel (Jacobi eigh), so ``ok`` certifies only the atan-series
-    regime of the in-kernel boxminus; when False (a > ~28° between-
-    iteration correction — abnormal) the caller must re-run the exact jnp
-    loop.  ``gersh_min`` is conditioning telemetry (the Gershgorin lower
-    bound on the pose block, min over active iterations); ``min_eig`` is
-    the exact smallest pose-block eigenvalue over active iterations
+    in-kernel (Jacobi eigh), so ``ok`` certifies the atan-series regime of
+    the in-kernel boxminus AND (with_cert) the re-match stability of every
+    iteration; when False the caller must re-run the exact per-iteration
+    jnp loop.  ``gersh_min`` is conditioning telemetry (the Gershgorin
+    lower bound on the pose block, min over active iterations); ``min_eig``
+    is the exact smallest pose-block eigenvalue over active iterations
     (min_eig < D ⇔ the guard zeroed directions).
     """
     f32 = jnp.float32
-    Nr = X.shape[0] // 8
+    Nr = X.shape[0] // (9 if with_cert else 8)
     sc = jnp.concatenate([
         st.as_vector(x_prop).astype(f32),
         jnp.asarray(1.0 / R, f32)[None],
@@ -221,7 +249,7 @@ def update_loop_tpu(X, P, x_prop: st.NavState, R, D, limit, *,
     xn, Pf, aux = pl.pallas_call(
         functools.partial(_loop_kernel,
                           estimate_extrinsics=estimate_extrinsics,
-                          Nr=Nr, max_iters=max_iters),
+                          Nr=Nr, max_iters=max_iters, with_cert=with_cert),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -97,34 +97,49 @@ def comm_volume(cfg: Config, n_map: int, n_data: int = 1) -> dict:
     n_q = cfg.ikfom.mapping.MAX_NUM_PC2MATCH // max(n_data, 1)
     itemsize = jnp.dtype(cfg.tpu.dtype).itemsize
     # the unrolled masked update executes MAX_NUM_ITERS+1 body evaluations
-    # (reference loop i = −1 … max−1, esekfom.hpp:1637), each re-matching
-    # under knn_refresh="always" — confirmed by counting the compiled
-    # HLO's all-gathers
+    # (reference loop i = −1 … max−1, esekfom.hpp:1637).  Since round 5 the
+    # measurement model is the CERTIFIED exact re-match (measurement.py):
+    # ONE frozen top-(k+1) resolve at the predicted pose, and per
+    # evaluation a `lax.cond` whose certificate-failure branch re-gathers
+    # at size k.  This model counts the STATIC collectives of the compiled
+    # program (asserted against HLO below); the traffic that actually
+    # EXECUTES on a certificate-clean scan is only the frozen resolve plus
+    # the per-eval scalar reductions — reported as executed_typical_bytes.
     evals = cfg.ikfom.MAX_NUM_ITERS + 1
-    resolves = 1 if cfg.tpu.knn_refresh == "first" else evals
-    # per resolve, per device: nbrs (N_q,k,3) + sq (N_q,k) from D_m−1 peers
-    knn_gather = (n_map - 1) * n_q * k * 4 * itemsize * resolves
+    # per resolve, per device: nbrs (N_q,kk,3) + sq (N_q,kk) from D_m−1 peers
+    per_resolve = lambda kk: (n_map - 1) * n_q * kk * 4 * itemsize
+    knn_gather = per_resolve(k + 1) + per_resolve(k) * evals
     # per body evaluation: HᵀH (12,12) + Hᵀh (12,) psum over 'data'
     stats_psum = (2 * (n_data - 1) / max(n_data, 1)) * 156 * itemsize * evals
-    # MAX_NUM_MATCHES cap prefix: per resolve, the per-shard keep-counts
-    # (one i32 scalar) are all_gathered over 'data'
-    cap_gather = (n_data - 1) * 4 * resolves if n_data > 1 else 0
+    # MAX_NUM_MATCHES cap prefix: the per-shard keep-counts (one i32
+    # scalar) all_gathered over 'data' — statically present in BOTH cond
+    # branches of every evaluation
+    cap_gather = (n_data - 1) * 4 * 2 * evals if n_data > 1 else 0
+    # re-match certificate: one i32 violation-count psum over 'data'/eval
+    cert_psum = (2 * (n_data - 1) / n_data * 4 * evals
+                 if n_data > 1 else 0)
     # replicated global num_points: one scalar (i32) psum over 'map'
     count_psum = 2 * (n_map - 1) / n_map * 4 if n_map > 1 else 0
     # dynamic-object residual gate (MappingConfig.DYNAMIC_GATE): its
     # two-pass robust mean needs 2 rounds × (Σ|r|, Σw) scalar psums over
-    # 'data' per resolve — 4 f32 scalars
+    # 'data' — 4 f32 scalars, in BOTH cond branches of every evaluation
     gate = cfg.ikfom.mapping.DYNAMIC_GATE
-    gate_psum = (2 * (n_data - 1) / n_data * 4 * itemsize * resolves
+    gate_psum = (2 * (n_data - 1) / n_data * 4 * itemsize * 2 * evals
                  if (gate > 0 and n_data > 1) else 0)
+    executed = (per_resolve(k + 1) + stats_psum + cert_psum + count_psum
+                + (cap_gather + gate_psum) / 2)
     return {
         "knn_allgather_bytes": int(knn_gather),
         "cap_allgather_bytes": int(cap_gather),
         "hstats_psum_bytes": int(stats_psum),
         "gate_psum_bytes": int(gate_psum),
+        "cert_psum_bytes": int(cert_psum),
         "num_points_psum_bytes": int(count_psum),
         "total_bytes": int(knn_gather + cap_gather + stats_psum + gate_psum
-                           + count_psum),
+                           + cert_psum + count_psum),
+        # what a certificate-clean scan actually moves (one branch of each
+        # cond: the frozen path — no re-gather)
+        "executed_typical_bytes": int(executed),
     }
 
 

@@ -115,7 +115,13 @@ class TPUConfig:
     insert_probes: int = 0                # insert probe budget (0 → hash_probes);
                                           # must be ≤ hash_probes so lookups
                                           # always cover the chains inserts create
-    knn_refresh: str = "always"           # "always" (reference parity) | "first"
+    knn_refresh: str = "always"           # RETIRED no-op since round 5: both
+                                          # values run the CERTIFIED exact
+                                          # re-match (reference semantics —
+                                          # re-match every iteration — at
+                                          # resolve-once cost; see
+                                          # measurement.make_h_model); kept
+                                          # so older configs keep loading
     knn_neighborhood: int = 8             # DEPRECATED no-op since the block-
                                           # addressed map (round 4): every value
                                           # resolves to the exact 8-block gather

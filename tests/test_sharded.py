@@ -212,7 +212,7 @@ class TestShardedLifecycle:
             model["knn_allgather_bytes"] + model["cap_allgather_bytes"])
         assert got["allreduce_bytes"] == (
             model["hstats_psum_bytes"] + model["gate_psum_bytes"]
-            + model["num_points_psum_bytes"])
+            + model["cert_psum_bytes"] + model["num_points_psum_bytes"])
 
     def test_comm_model_matches_compiled_hlo_2d(self):
         cfg = ge._tiny_cfg(n_pts=512, map_cap=1024, n_shards=2)
@@ -225,4 +225,4 @@ class TestShardedLifecycle:
             model["knn_allgather_bytes"] + model["cap_allgather_bytes"])
         assert got["allreduce_bytes"] == (
             model["hstats_psum_bytes"] + model["gate_psum_bytes"]
-            + model["num_points_psum_bytes"])
+            + model["cert_psum_bytes"] + model["num_points_psum_bytes"])

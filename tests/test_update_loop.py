@@ -177,6 +177,47 @@ class TestWholeLoopKernel:
                                    rtol=1e-3, atol=2e-4)
 
 
+class TestRematchCertificate:
+    """with_cert: the 9th pack channel (per-query squared margins) must
+    gate ``ok`` on the iterates' world-frame displacement — huge margins
+    keep the kernel path bit-identical to the cert-less kernel; zero
+    margins force the exact-loop fallback signal as soon as the pose
+    moves."""
+
+    def _pack(self, pc, n_abcd, keep, m2_value):
+        X = hstats.pack_inputs(pc, n_abcd, keep)
+        Nr = X.shape[0] // 8
+        m2 = jnp.full((Nr, 128), m2_value, jnp.float32)
+        return jnp.concatenate([X, m2])
+
+    def test_wide_margins_pass_and_match(self, rng):
+        x_prop, P, pc, n_abcd, keep = _plane_case(rng)
+        R, D, limit, max_iters = 1e-3, 5.0, 1e-3, 3
+        X8 = hstats.pack_inputs(pc, n_abcd, keep)
+        x_r, P_r, n_r, ok_r, _g, _me = update_loop.update_loop_tpu(
+            X8, P, x_prop, R, D, limit, max_iters=max_iters,
+            estimate_extrinsics=True, interpret=True)
+        X9 = self._pack(pc, n_abcd, keep, jnp.inf)
+        x_k, P_k, n_k, ok, _g2, _me2 = update_loop.update_loop_tpu(
+            X9, P, x_prop, R, D, limit, max_iters=max_iters,
+            estimate_extrinsics=True, with_cert=True, interpret=True)
+        assert bool(ok) and bool(ok_r)
+        assert int(n_k) == int(n_r)
+        np.testing.assert_array_equal(np.asarray(st.as_vector(x_k)),
+                                      np.asarray(st.as_vector(x_r)))
+        np.testing.assert_array_equal(np.asarray(P_k), np.asarray(P_r))
+
+    def test_zero_margins_flag_fallback(self, rng):
+        x_prop, P, pc, n_abcd, keep = _plane_case(rng)
+        # real residuals → the first iteration moves the pose → every
+        # query's disp² ≥ 0 == margin² → certificate must fail
+        X9 = self._pack(pc, n_abcd, keep, 0.0)
+        _x, _P, _n, ok, _g, _me = update_loop.update_loop_tpu(
+            X9, P, x_prop, 1e-3, 5.0, 1e-3, max_iters=3,
+            estimate_extrinsics=True, with_cert=True, interpret=True)
+        assert not bool(ok)
+
+
 class TestJacobiGuard:
     def test_jacobi_eigh_matches_numpy(self, rng):
         from fast_limo_tpu.ops import update_body
