@@ -45,8 +45,9 @@ def _wait_for_device(tries: int = 5) -> None:
             time.sleep(60)
 
 
-_wait_for_device()
-
+# NOTE: called from main(), not at import time — `import bench` stays
+# side-effect-free so CPU harnesses (tools/soak_cpu_probe.py, tests) can
+# reuse the band functions without touching the tunneled device
 import jax
 import numpy as np
 
@@ -266,6 +267,62 @@ def soak_band(n_scans: int = 192) -> dict:
     }
 
 
+def packet_band(n_scans: int = 96, n_packets: int = 4) -> dict:
+    """Per-packet streaming band (VERDICT r4 #5): the reference's stated
+    headline driver sends each scan packet as soon as it is ready
+    (README.md:247).  Replays the soak circuit through SLAM with a
+    4-packet slicer at C=1 and reports SWEEP-equivalent throughput, ATE,
+    and loops closed — packet mode must compose with the full SLAM stack,
+    not just odometry."""
+    from fast_limo_tpu.io.packets import PacketSlicer
+    from fast_limo_tpu.models.slam import SLAM, LoopConfig
+
+    traj = synthetic.LoopTrajectory(v_forward=4.0, radius=9.0, ramp_tau=0.8)
+    world = synthetic.build_loop_world(11, radius=9.0)
+    seq = synthetic.SyntheticSequence(
+        seed=11, n_scans=n_scans, points_per_scan=16384, scan_rate=5.0,
+        noise_pt=0.01, noise_gyro=8e-4, noise_acc=8e-3, max_range=25.0,
+        traj=traj, world=world)
+    cfg = kitti_like_cfg()
+    # packet-sized device shapes: a packet is ~1/4 sweep
+    cfg.tpu.max_points_per_scan = 16384 // n_packets
+    cfg.ikfom.mapping.MAX_NUM_PC2MATCH = 4096
+    cfg.ikfom.mapping.MAX_NUM_MATCHES = 4096
+    cfg.tpu.max_insert_points = 4096
+    slam = SLAM(cfg, LoopConfig(
+        kf_dist=2.0, exclude_recent=20, sc_dist_thresh=0.28,
+        icp_min_inliers=150, loop_weight=30.0, max_keyframes=64,
+        loop_cooldown=3.0))
+    slicer = PacketSlicer(n_packets=n_packets)
+    stamps, acc, gyro = seq.imu_stream()
+    scans = [seq.scan(i) for i in range(n_scans)]
+    si = 0
+    n_warm = 8
+    t0 = None
+    for k in range(len(stamps)):
+        slam.update_imu(stamps[k], acc[k], gyro[k])
+        while si < n_scans and scans[si][0] <= stamps[k]:
+            st_, pts, traw = scans[si]
+            if si == n_warm:
+                jax.block_until_ready(slam.loc.state)
+                t0 = time.perf_counter()
+            for p_pts, p_traw, p_st in slicer.packets(pts, traw, st_):
+                slam.update_pointcloud(p_pts, p_traw, p_st)
+            si += 1
+    slam.flush()
+    jax.block_until_ready(slam.loc.state)
+    elapsed = time.perf_counter() - t0
+    est = np.asarray(slam.positions())
+    gt = seq.traj.pos(slam.stamps())
+    return {
+        "n_packets": n_packets,
+        "sweeps_per_s": round((n_scans - n_warm) / elapsed, 2),
+        "packets_per_s": round((n_scans - n_warm) * n_packets / elapsed, 2),
+        "ate_m": round(float(synthetic.ate_rmse(est, gt)), 3),
+        "loops": int(slam.n_loops_closed),
+    }
+
+
 def _measure_stream(cfg, stamps, acc, gyro, scans, n_warm, epoch_len):
     """Replay the stream; return (best-epoch scans/s, epoch_times, loc).
 
@@ -295,6 +352,7 @@ def _measure_stream(cfg, stamps, acc, gyro, scans, n_warm, epoch_len):
 
 
 def main():
+    _wait_for_device()
     # 8 epochs: the tunnel's session-level slow moods (observed −30%
     # multi-minute stretches, and a bimodal ~fast/degraded per-process
     # regime — tools/probe_*_bisect nulls) need chances to catch a clean
@@ -339,6 +397,7 @@ def main():
     ate_bands = ate_sweep(seeds=[3, 7, 13])
     ate_bands["corridor_gps"] = corridor_gps_band()
     soak = soak_band()
+    packet = packet_band()
 
     print(json.dumps({
         "metric": "scan_throughput",
@@ -351,6 +410,7 @@ def main():
         "epochs_scans_per_s": [round(epoch_len / t, 1) for t in epoch_times],
         "replay_chunk4_scans_per_s": round(chunk4_scans_per_s, 2),
         "soak": soak,
+        "packet": packet,
         "device": str(jax.devices()[0]),
     }))
 

@@ -78,6 +78,26 @@ def _feeder(args, slam):
     return ing, ing
 
 
+def _reloc_bootstrap(args, slam, scan_a, scan_b):
+    """--relocalize: localize two consecutive scans of the new run inside
+    the loaded session and push pose+velocity into the filter (the ONA
+    multi-session workflow, reference relocation branch README.md:201-215).
+    Returns the stamp up to which sensor data belongs to the past, or
+    raises SystemExit on failure."""
+    import numpy as np
+
+    (sa, pa, _ta), (sb, pb, _tb) = scan_a, scan_b
+    res, _vel = slam.relocalize_bootstrap(
+        pa, np.ones(len(pa), bool), sa, pb, np.ones(len(pb), bool), sb)
+    if not res.success:
+        print(json.dumps({"error": "relocalization failed",
+                          "sc_dist": float(res.sc_dist)}))
+        raise SystemExit(1)
+    print(f"relocalized at keyframe {res.keyframe_index} "
+          f"(sc={res.sc_dist:.3f}, icp_rmse={res.icp_rmse:.3f})")
+    return sb
+
+
 def cmd_synthetic(args):
     import numpy as np
 
@@ -91,6 +111,8 @@ def cmd_synthetic(args):
         cfg.intrinsics.gyro_bias = [0.0] * 3
 
     cfg, slam = _build(args, tweak)
+    if args.load_session:
+        slam.load_session(args.load_session)
     feed, ing = _feeder(args, slam)
 
     seq = synthetic.SyntheticSequence(
@@ -98,8 +120,14 @@ def cmd_synthetic(args):
         points_per_scan=min(cfg.tpu.max_points_per_scan, 16384))
     stamps, acc, gyro = seq.imu_stream()
     scans = [seq.scan(i) for i in range(args.scans)]
-    si = 0
+    si = max(0, args.start_scan)
+    t_floor = -np.inf if si == 0 else scans[si - 1][0]
+    if args.load_session and args.relocalize:
+        t_floor = _reloc_bootstrap(args, slam, scans[si], scans[si + 1])
+        si += 2
     for k in range(len(stamps)):
+        if stamps[k] <= t_floor:
+            continue
         feed.update_imu(stamps[k], acc[k], gyro[k])
         while si < args.scans and scans[si][0] <= stamps[k]:
             st, pts, traw = scans[si]
@@ -134,9 +162,16 @@ def cmd_sequence(args):
     from fast_limo_tpu.utils import evaluation
 
     cfg, slam = _build(args)
+    if args.load_session:
+        slam.load_session(args.load_session)
     feed, ing = _feeder(args, slam)
     seq = generic.GenericSequence(args.data)
-    generic.run_sequence(feed, seq, n_scans=args.scans)
+    start_scan, t_floor = 0, None
+    if args.load_session and args.relocalize:
+        t_floor = _reloc_bootstrap(args, slam, seq.scan(0), seq.scan(1))
+        start_scan = 2
+    generic.run_sequence(feed, seq, n_scans=args.scans,
+                         start_scan=start_scan, start_time=t_floor)
     if ing is not None:
         ing.close()
     print(slam.loc.board())
@@ -203,6 +238,16 @@ def main(argv=None):
                         help="write TUM trajectory here")
     common.add_argument("--save-session", default=argparse.SUPPRESS,
                         help="session prefix to save")
+    common.add_argument("--load-session", default=argparse.SUPPRESS,
+                        help="session prefix to load before running "
+                             "(multi-session: continue mapping in the "
+                             "saved map/keyframe database)")
+    common.add_argument("--relocalize", action="store_true",
+                        default=argparse.SUPPRESS,
+                        help="with --load-session: globally relocalize the "
+                             "run's first two scans against the session's "
+                             "keyframes and start tracking in its world "
+                             "frame (ONA multi-session workflow)")
     common.add_argument("--no-loop", action="store_true",
                         default=argparse.SUPPRESS, help="odometry only")
     common.add_argument("--chunk", type=int, default=argparse.SUPPRESS,
@@ -233,6 +278,10 @@ def main(argv=None):
                         help="run the synthetic benchmark world")
     ps.add_argument("--scans", type=int, default=50)
     ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("--start-scan", type=int, default=0,
+                    help="resume mid-route at this scan index (with "
+                         "--load-session --relocalize: the two scans at "
+                         "this index seed the global relocalization)")
     ps.set_defaults(fn=cmd_synthetic)
 
     pk = sub.add_parser("kitti", parents=[common],
@@ -264,7 +313,8 @@ def main(argv=None):
 
     args = p.parse_args(argv)
     for dest, dflt in (("config", None), ("out", None),
-                       ("save_session", None), ("no_loop", False),
+                       ("save_session", None), ("load_session", None),
+                       ("relocalize", False), ("no_loop", False),
                        ("chunk", 0), ("platform", None),
                        ("debug_dump", None), ("async_mode", False)):
         if not hasattr(args, dest):

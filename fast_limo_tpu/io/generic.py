@@ -119,24 +119,36 @@ class GenericSequence:
             yield kind, i
 
 
-def run_sequence(engine, seq: GenericSequence, n_scans: int = None) -> None:
+def run_sequence(engine, seq: GenericSequence, n_scans: int = None,
+                 start_scan: int = 0, start_time: float = None) -> None:
     """Feed a sequence through a Localizer/SLAM instance in timestamp order.
 
     GPS events go to ``engine.update_gps`` when it exists (SLAM), else are
-    skipped (plain odometry).
+    skipped (plain odometry).  ``start_scan``/``start_time`` resume
+    mid-sequence (multi-session relocalization: the first scans were
+    consumed by the relocalizer, and IMU/GPS up to ``start_time`` belong to
+    the pre-relocalization past).
     """
     gps_fn = getattr(engine, "update_gps", None)
     done = 0
+    seen = 0
     try:
         for kind, i in seq.stream():
             if kind == "imu":
                 stamp, acc, gyro = seq.imu(i)
+                if start_time is not None and stamp <= start_time:
+                    continue
                 engine.update_imu(stamp, acc, gyro)
             elif kind == "gps":
                 if gps_fn is not None:
                     stamp, pos, w = seq.gps(i)
+                    if start_time is not None and stamp <= start_time:
+                        continue
                     gps_fn(stamp, pos, weight=w)
             else:
+                seen += 1
+                if seen <= start_scan:
+                    continue
                 stamp, xyz, t_raw = seq.scan(i)
                 engine.update_pointcloud(xyz, t_raw, stamp)
                 done += 1

@@ -76,6 +76,23 @@ def relocalize(query_cloud, query_valid, keyframes: List, *,
                       init_quat=q0, max_corr_dist=1.0, iters=20)
         if (float(res.rmse) <= icp_max_rmse
                 and int(res.n_inliers) >= icp_min_inliers):
+            # point-to-plane refinement (the GICP step of the reference's
+            # relocation branch): p2p Kabsch plateaus at the 1024-pt
+            # sampling distance (~0.3-0.8 m), which then persists as a
+            # world-frame offset of the whole resumed run
+            dst_c = (kf.rebuild_cloud if getattr(kf, "rebuild_cloud", None)
+                     is not None else kf.cloud)
+            dst_v = (kf.rebuild_valid if getattr(kf, "rebuild_cloud", None)
+                     is not None else kf.cloud_valid)
+            nrm, nok = icp.estimate_normals(jnp.asarray(dst_c),
+                                            jnp.asarray(dst_v))
+            ref = icp.icp_point_to_plane(
+                jnp.asarray(query_cloud), jnp.asarray(query_valid),
+                jnp.asarray(dst_c), jnp.asarray(dst_v), nrm, nok,
+                init_quat=res.quat, init_trans=res.trans,
+                max_corr_dist=1.0, iters=8)
+            if int(ref.n_inliers) >= icp_min_inliers:
+                res = ref
             # world pose: T_world←query = T_world←kf ∘ T_kf←query(ICP)
             qw = so3.quat_mul(jnp.asarray(kf.quat), res.quat)
             pw = so3.quat_rotate(jnp.asarray(kf.quat), res.trans) + jnp.asarray(kf.pos)

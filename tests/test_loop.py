@@ -121,6 +121,69 @@ class TestICP:
         np.testing.assert_allclose(np.asarray(res.trans), np.zeros(3), atol=1e-3)
 
 
+class TestPointToPlaneICP:
+    def test_normals_recover_surfaces(self, rng):
+        pts = ring_scene(rng, 2000)
+        nrm, ok = icp.estimate_normals(jnp.asarray(pts),
+                                       jnp.ones(len(pts), bool))
+        nrm, ok = np.asarray(nrm), np.asarray(ok)
+        assert ok.mean() > 0.9
+        # ground points (z = −2) must get ±z normals
+        ground = pts[:, 2] == -2.0
+        gz = np.abs(nrm[ground & ok][:, 2])
+        assert np.quantile(gz, 0.1) > 0.99
+
+    def test_beats_point_to_point_on_resampled_surfaces(self, rng):
+        """The loop-closure accuracy case (VERDICT r4 #3): two different
+        samplings of the same surfaces.  p2p stalls at the sampling
+        distance; p2l must land the transform to sub-cm / sub-mrad."""
+        pts = ring_scene(rng, 1500)
+        src_raw = ring_scene(np.random.default_rng(5), 1500)
+        R = yaw_rot(0.10)
+        t = np.array([0.3, -0.2, 0.0], np.float32)
+        src = ((src_raw - t) @ R).astype(np.float32)
+        vs, vd = jnp.ones(len(src), bool), jnp.ones(len(pts), bool)
+        coarse = icp.icp(jnp.asarray(src), vs, jnp.asarray(pts), vd,
+                         max_corr_dist=1.5, iters=30)
+        nrm, ok = icp.estimate_normals(jnp.asarray(pts), vd)
+        res = icp.icp_point_to_plane(
+            jnp.asarray(src), vs, jnp.asarray(pts), vd, nrm, ok,
+            init_quat=coarse.quat, init_trans=coarse.trans,
+            max_corr_dist=1.5, iters=8)
+
+        def errs(r):
+            e_rot = float(jnp.linalg.norm(so3.log_quat(so3.quat_mul(
+                so3.quat_conj(r.quat), so3.mat_to_quat(jnp.asarray(R))))))
+            e_t = float(np.linalg.norm(np.asarray(r.trans) - t))
+            return e_rot, e_t
+
+        r_p2p, t_p2p = errs(coarse)
+        r_p2l, t_p2l = errs(res)
+        assert r_p2l < 2e-3 and t_p2l < 0.02, (r_p2l, t_p2l)
+        assert r_p2l < 0.5 * r_p2p and t_p2l < 0.5 * t_p2p, \
+            ((r_p2p, t_p2p), (r_p2l, t_p2l))
+
+    def test_noisy_resampled_still_tight(self, rng):
+        pts = ring_scene(rng, 1500) + \
+            rng.standard_normal((1500, 3)).astype(np.float32) * 0.02
+        src_raw = ring_scene(np.random.default_rng(5), 1500) + \
+            rng.standard_normal((1500, 3)).astype(np.float32) * 0.02
+        R = yaw_rot(0.06)
+        t = np.array([0.2, -0.15, 0.05], np.float32)
+        src = ((src_raw - t) @ R).astype(np.float32)
+        vs, vd = jnp.ones(len(src), bool), jnp.ones(len(pts), bool)
+        coarse = icp.icp(jnp.asarray(src), vs, jnp.asarray(pts), vd,
+                         max_corr_dist=1.5, iters=20)
+        nrm, ok = icp.estimate_normals(jnp.asarray(pts), vd)
+        res = icp.icp_point_to_plane(
+            jnp.asarray(src), vs, jnp.asarray(pts), vd, nrm, ok,
+            init_quat=coarse.quat, init_trans=coarse.trans, iters=8)
+        e_t = float(np.linalg.norm(np.asarray(res.trans) - t))
+        e_r = float(jnp.linalg.norm(so3.log_quat(so3.quat_mul(
+            so3.quat_conj(res.quat), so3.mat_to_quat(jnp.asarray(R))))))
+        assert e_t < 0.04 and e_r < 4e-3, (e_t, e_r)
+
+
 class TestPoseGraph:
     def test_loop_closure_corrects_drift(self):
         # square loop with odometry drift; loop edge ties end to start

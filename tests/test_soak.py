@@ -110,7 +110,7 @@ class TestSoak:
         kgt = seq.traj.pos(np.array([kf.stamp for kf in slam.keyframes]))
         kf_rmse = float(np.sqrt(np.mean(
             np.sum((kfp - kgt) ** 2, axis=1))))
-        assert kf_rmse < 1.0, f"soak keyframe RMSE {kf_rmse:.2f} m"
+        assert kf_rmse < 0.3, f"soak keyframe RMSE {kf_rmse:.2f} m"
 
         # tail accuracy: the LAST lap must not have drifted away (loop
         # corrections keep pulling the live trajectory back)
@@ -119,7 +119,7 @@ class TestSoak:
         tail = slice(-60, None)
         tail_rmse = float(np.sqrt(np.mean(
             np.sum((np.asarray(est)[tail] - gt[tail]) ** 2, axis=1))))
-        assert tail_rmse < 1.5, f"tail RMSE {tail_rmse:.2f} m"
+        assert tail_rmse < 0.4, f"tail RMSE {tail_rmse:.2f} m"
 
         # ---- mid-run checkpoint RESUMES and keeps tracking ----
         res = SLAM(small_cfg(), LoopConfig(
@@ -146,4 +146,4 @@ class TestSoak:
         kgt2 = seq.traj.pos(np.array([kf.stamp for kf in res.keyframes]))
         kf_rmse2 = float(np.sqrt(np.mean(
             np.sum((kfp2 - kgt2) ** 2, axis=1))))
-        assert kf_rmse2 < 1.5, f"post-restore keyframe RMSE {kf_rmse2:.2f} m"
+        assert kf_rmse2 < 0.5, f"post-restore keyframe RMSE {kf_rmse2:.2f} m"
