@@ -62,6 +62,7 @@ def _dump_debug(args, slam):
         gersh_min=pick(dbg.gersh_min),
         min_eig=pick(dbg.min_eig),
         guard_fired=pick(dbg.guard_fired),
+        n_stale=pick(dbg.n_stale),
         pos=pick(out.pos), quat=pick(out.quat))
     print(f"debug scan → {path}")
 

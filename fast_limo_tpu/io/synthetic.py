@@ -234,6 +234,28 @@ class SyntheticSequence:
     dynamic_speed: float = 8.0      # m/s crossing speed
     dynamic_size: Tuple[float, float, float] = (4.0, 1.8, 1.6)
     dynamic_fraction: float = 0.08  # max fraction of scan points on movers
+    # ---- sensor realism (VERDICT r4 #7; all OFF by default so legacy
+    # sequences stay bit-identical) ----
+    ring_beams: int = 0             # >0: spinning-lidar geometry — returns
+                                    # only on this many discrete elevation
+                                    # beams (HDL-64-style rings) and firing
+                                    # times AZIMUTH-COUPLED: t = az/2π ·
+                                    # sweep period at the pose at firing
+                                    # time (fixed-point refined), not
+                                    # uniform random
+    beam_fov: Tuple[float, float] = (-0.4346, 0.0349)   # rad (HDL-64:
+                                    # −24.9°..+2.0°, README.md:66-71 drives)
+    dropout: float = 0.0            # range-dependent return loss: each
+                                    # return drops with p = dropout·(d/max_
+                                    # range)² (weak far returns vanish
+                                    # first, like real intensity cutoffs)
+    bias_walk_gyro: float = 0.0     # rad/s/√s gyro bias random walk
+    bias_walk_acc: float = 0.0      # m/s²/√s accel bias random walk
+    sensor_height: float = 0.0      # m: mount height above the DEFAULT
+                                    # world's ground (shifts that world
+                                    # down — a ground-level sensor sees the
+                                    # whole ground plane on one ring, real
+                                    # vehicles mount the lidar ~1.7 m up)
 
     def __post_init__(self):
         self.traj = self.traj or Trajectory()
@@ -293,6 +315,16 @@ class SyntheticSequence:
                          self.traj.yaw_rate(stamps)], axis=-1)
         acc = acc + self.bias_acc + rng.normal(0, self.noise_acc, acc.shape)
         gyro = gyro + self.bias_gyro + rng.normal(0, self.noise_gyro, gyro.shape)
+        if self.bias_walk_gyro > 0 or self.bias_walk_acc > 0:
+            # Brownian bias drift (real MEMS IMUs; the constant-bias model
+            # above is what the filter's bg/ba states nominally assume) —
+            # drawn AFTER the legacy draws so walk-free sequences stay
+            # bit-identical
+            sdt = np.sqrt(1.0 / self.imu_rate)
+            gyro = gyro + np.cumsum(
+                rng.normal(0, self.bias_walk_gyro * sdt, gyro.shape), axis=0)
+            acc = acc + np.cumsum(
+                rng.normal(0, self.bias_walk_acc * sdt, acc.shape), axis=0)
         return stamps, acc.astype(np.float32), gyro.astype(np.float32)
 
     # ---- scans ----
@@ -301,19 +333,59 @@ class SyntheticSequence:
         rng = self._stream_rng(1, i)
         stamp = (i + 1) / self.scan_rate
         M = self.points_per_scan
+        period = 1.0 / self.scan_rate
         # visible world points near the sensor at scan start
         p0 = self.traj.pos(stamp)
         d = np.linalg.norm(self.world - p0.astype(np.float32), axis=1)
-        vis = np.nonzero((d > self.min_range) & (d < self.max_range))[0]
-        if len(vis) < M:
+        ok = (d > self.min_range) & (d < self.max_range)
+        if self.ring_beams:
+            # spinning-lidar geometry: returns exist only on the discrete
+            # elevation beams (ring circles on the ground, banded walls)
+            R0 = self.traj.rot(stamp)
+            body0 = (self.world.astype(np.float64) - p0) @ R0  # = R0ᵀ·(w−p)
+            el = np.arctan2(body0[:, 2], np.hypot(body0[:, 0], body0[:, 1]))
+            lo, hi = self.beam_fov
+            beams = np.linspace(lo, hi, self.ring_beams)
+            spacing = (hi - lo) / max(self.ring_beams - 1, 1)
+            bi = np.clip(np.round((el - lo) / spacing).astype(int),
+                         0, self.ring_beams - 1)
+            ok &= np.abs(el - beams[bi]) < 0.25 * spacing
+        if self.dropout > 0:
+            # range-dependent return loss (weak far echoes vanish first)
+            p_drop = self.dropout * np.square(d / self.max_range)
+            ok &= rng.uniform(size=len(d)) >= p_drop
+        vis = np.nonzero(ok)[0]
+        if self.ring_beams:
+            # a ring sensor returns what the beams hit — no resampling up
+            pick = (rng.choice(vis, M, replace=False) if len(vis) > M
+                    else rng.permutation(vis))
+            M = len(pick)
+        elif len(vis) < M:
             pick = rng.choice(vis, M, replace=True)
         else:
             pick = rng.choice(vis, M, replace=False)
         pw = self.world[pick].astype(np.float64)
 
-        # firing times spread over the sweep
-        t_rel = rng.uniform(0.0, 1.0 / self.scan_rate, M)
-        t_abs = stamp + t_rel
+        if self.ring_beams:
+            # AZIMUTH-COUPLED firing times: the sweep starts at azimuth 0
+            # (+x, body frame) at the header stamp and rotates once per
+            # period — a point fires when the beam column passes it.  One
+            # fixed-point refinement accounts for the sensor's own motion
+            # during the sweep (the azimuth at firing time, not scan start).
+            def az_time(t_abs_est):
+                R = self.traj.rot(t_abs_est)
+                p = self.traj.pos(t_abs_est)
+                pb = np.einsum("mij,mj->mi", R.transpose(0, 2, 1), pw - p)
+                az = np.arctan2(pb[:, 1], pb[:, 0]) % (2 * np.pi)
+                return az / (2 * np.pi) * period
+
+            t_rel = az_time(np.full(M, stamp))
+            t_rel = az_time(stamp + t_rel)
+            t_abs = stamp + t_rel
+        else:
+            # legacy: firing times spread uniformly over the sweep
+            t_rel = rng.uniform(0.0, period, M)
+            t_abs = stamp + t_rel
 
         # dynamic objects: movers within range REPLACE static returns (a
         # lidar return on a car occludes whatever was behind it); each
@@ -327,9 +399,9 @@ class SyntheticSequence:
                     continue
                 n_o = int(self.dynamic_fraction * M / max(
                     1, self.dynamic_objects) * min(1.0, (25.0 / dist) ** 2))
-                if n_o < 8:
+                if n_o < 8 or n_o > len(pw):
                     continue
-                repl = drng.choice(M, n_o, replace=False)
+                repl = drng.choice(len(pw), n_o, replace=False)
                 body = self._object_points(o, n_o, drng)
                 centers = self._object_state(o, t_abs[repl])
                 pw[repl] = centers + body

@@ -481,7 +481,7 @@ def update_iterated(
     xk, Pk, nit_k, ok, g_k, me_k = update_loop.update_loop_tpu(
         loop_pack, P_prop, x_prop, R, D, limit, max_iters=max_iters,
         estimate_extrinsics=h_model.loop_extrinsics,
-        with_cert=getattr(h_model, "loop_cert", False))
+        window=getattr(h_model, "loop_window", None))
     x_o, P_o, n_o, g_o, me_o = jax.lax.cond(
         ok, lambda: (xk, Pk, nit_k, g_k, me_k), run_loop)
     if with_diag:

@@ -51,33 +51,38 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
       scaling of the gather/fit/Jacobian work.
 
     ``knn_refresh``: RETIRED knob (round 5), kept for config compatibility —
-    both values run the same CERTIFIED EXACT re-match: semantics are the
-    reference's "re-match every iteration" (h_share_model,
-    use-ikfom.cpp:10-31), at resolve-once cost.  The candidate neighborhood
-    is resolved ONCE at ``x0`` (the predicted pose) together with top-(k+1)
-    distances and per-query STABILITY MARGINS; each iteration then proves —
-    from the iterate's per-point displacement against those margins — that
-    a full re-match would return the identical correspondence set and
-    gates, and reuses the frozen set (recomputing the pose-dependent
-    close/dynamic gates, caps, residuals and Jacobians exactly).  Any query
-    whose certificate fails flips that iteration to a true re-gather
-    (`lax.cond`), so the semantics never degrade.  Margin derivation:
+    both values run the same CERTIFIED EXACT WINDOW RE-MATCH: semantics are
+    the reference's "re-match every iteration" (h_share_model,
+    use-ikfom.cpp:10-31), at resolve-once gather cost.  The candidate
+    neighborhood is resolved ONCE at ``x0`` (the predicted pose) as a
+    top-(k+3) WINDOW per query; every iteration then re-matches EXACTLY
+    over that window — true distances at the iterate, exact top-k
+    selection (so ties and reorderings cost nothing), a fresh plane fit,
+    and every pose-dependent gate/cap recomputed — plus per-query
+    staleness certificates proving a full re-gather could not differ:
 
-    * rows: the 8-block gather depends only on ``b0 = (voxel(q)−1)>>1``
-      (mapper.gather_rows); the set is unchanged while the query stays
-      inside its b0 validity band ``[h(2b0+1), h(2b0+3))`` per axis.
-    * kNN set: every candidate's distance moves by ≤ the query's
-      displacement Δ, so the top-k SET is stable while
-      ``2Δ < d_{k+1} − d_k`` (triangle inequality).  Plane fits are
-      set-functions (centroid-PCA), so the frozen fit stays exact.
-    * close gate (``d_k² < MAX_DIST_PLANE``): recomputed exactly per
-      iteration in the frozen branch (max over the certified set).
+    * outside-window entry (cert_a): every non-window candidate of the
+      cube had distance ≥ d_W at x0, hence ≥ d_W − Δ at the iterate (Δ =
+      that query's displacement); the selected k-th must beat that.  A
+      partial window (cnt < W) holds the WHOLE cube — nothing outside.
+    * block crossing (cert_b): the 8-block gather depends only on
+      ``b0 = (voxel(q)−1)>>1`` (mapper.gather_rows); an unmoved b0 means
+      the identical cube.  A query that left its b0 band by δ still has
+      guaranteed coverage radius ``voxel_size − δ`` from the frozen cube,
+      so the selection stands while the k-th distance beats it.
+
+    Any query whose certificate fails flips that iteration to a true
+    re-gather (`lax.cond`), so the semantics never degrade; measured on
+    the bench scene, ~80% of scans have ZERO stale queries and the rest
+    single digits (tools/probe_stale_rate.py; DebugOutput.n_stale is the
+    live telemetry).  On TPU the whole iterated loop INCLUDING this window
+    re-match runs as one Pallas launch (ops/update_loop.py window mode).
 
     ``with_debug=True`` additionally returns a third closure
-    ``h_debug(x) -> (n_abcd (Nq,4), keep (Nq,), dist (Nq,))`` — the raw
-    match data (plane coefficients, validity, signed distances) behind the
-    reference's match-marker debug publisher (src/main.cpp:203,
-    ROSutils.hpp:216-252).
+    ``h_debug(x) -> (n_abcd (Nq,4), keep (Nq,), dist (Nq,), n_stale ())``
+    — the raw match data (plane coefficients, validity, signed distances)
+    behind the reference's match-marker debug publisher (src/main.cpp:203,
+    ROSutils.hpp:216-252), plus the staleness telemetry.
     """
     assert knn_refresh in ("always", "first")
 
@@ -183,57 +188,73 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
 
     # ---- ONE frozen resolve at the predicted pose (see docstring) ----
     assert x0 is not None, "make_h_model needs the predicted pose x0"
+    import jax
+
+    W = k + 3   # candidate WINDOW per query: the per-iteration re-rank is
+                # EXACT inside the window (true distances, refit), so ties
+                # and near-boundary reorderings cost nothing; only a
+                # candidate from OUTSIDE the window entering the top-k (gap
+                # d_W − d_k, rarely < the iterate's displacement) or a
+                # sparse-region block crossing marks a query stale
     glob0 = so3.quat_rotate(x0.rot, pc) + x0.pos
-    nbrs_e, sq_e, _vld_e = _topk(_gather(glob0), glob0, kk=k + 1)
-    nbrs0 = nbrs_e[:, :k]
-    sq0 = sq_e[:, :k]
-    vld0 = jnp.isfinite(sq0)
-    # pose-independent fit + gates: sq=0 disables the close gate here (it
-    # is recomputed exactly per iteration in the frozen branch)
-    n_abcd0, good_geo0 = plane_op.fit_planes(
-        nbrs0, jnp.zeros_like(sq0), vld0, num_match_points=k,
-        max_dist_plane=max_dist_plane, plane_threshold=plane_threshold)
+    nbrs_w, sq_w, vld_w = _topk(_gather(glob0), glob0, kk=W)
+    cnt_w = jnp.sum(vld_w, axis=-1)
+    d_wmax = jnp.where(cnt_w >= W, jnp.sqrt(sq_w[:, W - 1]), jnp.inf)
+    b0_frozen = (mp.voxel_coords(glob0, voxel_size) - 1) >> 1
+    band_lo = (b0_frozen * 2 + 1).astype(glob0.dtype) * voxel_size
+    band_hi = band_lo + 2.0 * voxel_size
 
-    # ---- per-query stability margins (docstring derivation) ----
-    _EPS = 1e-4            # f32 rounding insurance on metre-scale margins
-    d_k = jnp.sqrt(sq0[:, k - 1])
-    d_k1 = jnp.sqrt(sq_e[:, k])          # inf when < k+1 candidates exist
-    margin_knn = jnp.where(jnp.isfinite(d_k1),
-                           0.5 * (d_k1 - d_k) - _EPS, jnp.inf)
-    h = voxel_size
-    qc0 = mp.voxel_coords(glob0, h)
-    lo = (((qc0 - 1) >> 1) * 2 + 1).astype(glob0.dtype) * h
-    wv = glob0 - lo                       # ∈ [0, 2h) per axis
-    margin_vox = jnp.min(jnp.minimum(wv, 2.0 * h - wv), axis=-1) - _EPS
-    m_cheap = jnp.minimum(margin_knn, margin_vox)
-    m2_cheap = jnp.where(
-        pc_valid, jnp.square(jnp.clip(m_cheap, 0.0, 1e18)), jnp.inf)
+    def _window_rank(glob):
+        """Exact top-k over the frozen window at the current pose."""
+        diff = glob[:, None, :] - nbrs_w                  # (N,W,3)
+        d2 = jnp.where(vld_w, jnp.sum(diff * diff, -1), jnp.inf)
+        neg, order = jax.lax.top_k(-d2, k)
+        sel_sq = -neg                                     # (N,k) ascending
+        sel_nbrs = jnp.take_along_axis(nbrs_w, order[..., None], axis=1)
+        return sel_nbrs, sel_sq
 
-    def _exact_from_frozen(glob):
-        """Re-match at ``glob`` over the CERTIFIED frozen candidate set:
-        the set/fit are frozen (set-stable by certificate), every
-        pose-dependent decision — close gate, dynamic gate, cap, residual
-        — is recomputed exactly."""
-        diff = glob[:, None, :] - nbrs0
-        sqk = jnp.sum(diff * diff, axis=-1)                   # (N,k)
-        kth = jnp.max(jnp.where(vld0, sqk, -jnp.inf), axis=-1)
-        good = good_geo0 & (kth < max_dist_plane) & pc_valid
-        good = _dyn_gate(good, n_abcd0, glob)
-        return n_abcd0, _cap(good)
+    def _stale_mask(glob, sel_sq):
+        """Per-query certificate FAILURES: could a full re-match at ``glob``
+        return a different candidate set than the window re-rank?
+
+        cert_a (outside-window entry): every non-window candidate of the
+        frozen cube had distance ≥ d_W at x0, hence ≥ d_W − Δ now; the
+        selected k-th must beat that.  cert_b (block crossing): if the
+        query left its frozen b0 band by δ, the frozen cube still covers
+        radius voxel_size − δ around it (gather_rows coverage guarantee) —
+        candidates revealed by the new cube are farther than that.  A query
+        whose b0 is unchanged sees the identical cube (no cert_b needed)."""
+        kth_d = jnp.sqrt(sel_sq[:, k - 1])        # inf if < k candidates
+        delta = jnp.linalg.norm(glob - glob0, axis=-1)
+        cert_a = (cnt_w < W) | (kth_d < d_wmax - delta)
+        b0_same = jnp.all(
+            ((mp.voxel_coords(glob, voxel_size) - 1) >> 1) == b0_frozen,
+            axis=-1)
+        leave = jnp.max(jnp.maximum(band_lo - glob, glob - band_hi), axis=-1)
+        cert_b = kth_d < voxel_size - jnp.maximum(leave, 0.0)
+        return pc_valid & ~(cert_a & (b0_same | cert_b))
+
+    def _window_match(glob):
+        """EXACT re-match over the window: true top-k, fresh plane fit,
+        every gate recomputed at the current pose."""
+        sel_nbrs, sel_sq = _window_rank(glob)
+        n_abcd, good = plane_op.fit_planes(
+            sel_nbrs, sel_sq, jnp.isfinite(sel_sq), num_match_points=k,
+            max_dist_plane=max_dist_plane, plane_threshold=plane_threshold)
+        good = _dyn_gate(good & pc_valid, n_abcd, glob)
+        return n_abcd, _cap(good)
 
     def _rematch(glob):
-        """Per-iteration exact re-match: certified-frozen fast path with a
-        full re-gather fallback when any query's certificate fails."""
-        import jax
-
-        disp2 = jnp.sum(jnp.square(glob - glob0), axis=-1)
+        """Per-iteration exact re-match: window fast path; full re-gather
+        only when some query's certificate fails (rare — see _stale_mask)."""
+        _sel_nbrs, sel_sq = _window_rank(glob)
         # dtype pinned: under x64 test mode jnp.sum would promote to int64
         # and double the certificate psum's wire size (comm_volume models 4 B)
-        viol = jnp.sum((disp2 >= m2_cheap).astype(jnp.int32),
+        viol = jnp.sum(_stale_mask(glob, sel_sq).astype(jnp.int32),
                        dtype=jnp.int32)
         if query_axis is not None:
             viol = jax.lax.psum(viol, query_axis)
-        return jax.lax.cond(viol == 0, _exact_from_frozen, _match, glob)
+        return jax.lax.cond(viol == 0, _window_match, _match, glob)
 
     def h_rows(x: st.NavState):
         dtype = pc.dtype
@@ -284,59 +305,25 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
         return HTH, HTh
 
     if use_kernel and query_axis is None:
-        # Expose the frozen channel pack + in-kernel certificate margins so
-        # iekf.update_iterated can run the WHOLE masked iteration loop as
-        # one launch (ops/update_loop.py) — the kernel freezes the keep
-        # mask too, so its margin additionally covers the close gate (and
-        # the dynamic gate's collective thresholds, via a conservative
-        # scalar bound); any violation makes the kernel report ok=False and
-        # the caller re-runs the exact per-iteration loop.  With query
+        # Expose the frozen WINDOW pack so iekf.update_iterated can run the
+        # WHOLE masked iteration loop — including the per-iteration exact
+        # window re-match (re-rank, refit, gates, cap) — as one Pallas
+        # launch (ops/update_loop.py).  The kernel evaluates the same
+        # per-query staleness certificates as _stale_mask; any violation
+        # makes it report ok=False and the caller re-runs the exact
+        # per-iteration loop (whose own fallback re-gathers).  With query
         # sharding the HᵀH psum must stay outside the kernel, so the
         # per-iteration path is kept there.
-        from fast_limo_tpu.ops import hstats as hstats_op
+        from fast_limo_tpu.ops import update_loop as ul_op
 
-        _, keep0 = _exact_from_frozen(glob0)
-        margin_close = jnp.where(
-            good_geo0 & jnp.isfinite(d_k),
-            jnp.abs(d_k - jnp.sqrt(jnp.asarray(max_dist_plane, d_k.dtype)))
-            - _EPS, jnp.inf)
-        m_loop = jnp.minimum(m_cheap, margin_close)
-        if dynamic_gate > 0:
-            # Scalar stability bound for the dynamic gate's two-pass robust
-            # mean: with the set/close gates stable, every |residual| moves
-            # by ≤ its query's displacement Δ_i and the means by ≤ max Δ —
-            # so the trim mask is stable while 4·maxΔ < |ad−t1| and the
-            # keep decisions while (1+gate)·maxΔ < |ad−τ| (rows in `good`).
-            ad0 = jnp.abs(plane_op.point_to_plane(n_abcd0, glob0))
-            kth0 = jnp.max(jnp.where(vld0, sq0, -jnp.inf), axis=-1)
-            good0 = good_geo0 & (kth0 < max_dist_plane) & pc_valid
-            gf0 = good0.astype(ad0.dtype)
-            n_g = jnp.maximum(jnp.sum(gf0), 1.0)
-            m1 = jnp.sum(ad0 * gf0) / n_g
-            t1 = 3.0 * m1 + 0.05
-            trim0 = gf0 * (ad0 <= t1)
-            m2v = jnp.sum(ad0 * trim0) / jnp.maximum(jnp.sum(trim0), 1.0)
-            tau0 = jnp.maximum(dynamic_gate * m2v, 0.05)
-            big = jnp.asarray(jnp.inf, ad0.dtype)
-            m_trim = jnp.min(jnp.where(good0, jnp.abs(ad0 - t1), big)) / 4.0
-            m_keep = jnp.min(jnp.where(good0, jnp.abs(ad0 - tau0), big)) \
-                / (1.0 + dynamic_gate)
-            m_dyn = jnp.minimum(m_trim, m_keep) - _EPS
-            m_loop = jnp.where(good0, jnp.minimum(m_loop, m_dyn), m_loop)
-        m2_loop = jnp.where(
-            pc_valid, jnp.square(jnp.clip(m_loop, 0.0, 1e18)), jnp.inf)
-        # 9th channel: margin² tiles, padded with +inf (a zero pad would
-        # veto the certificate on every scan)
-        Npc = pc.shape[0]
-        padn = (-Npc) % 128
-        m2_pad = jnp.concatenate(
-            [m2_loop.astype(jnp.float32),
-             jnp.full((padn,), jnp.inf, jnp.float32)]) if padn else \
-            m2_loop.astype(jnp.float32)
-        frozen_X = hstats_op.pack_inputs(pc, n_abcd0, keep0)
-        h_stats.loop_pack = jnp.concatenate(
-            [frozen_X, m2_pad.reshape(-1, 128)])
-        h_stats.loop_cert = True
+        h_stats.loop_pack = ul_op.pack_window(pc, pc_valid, nbrs_w, vld_w,
+                                              cnt_w)
+        h_stats.loop_window = ul_op.Window(
+            k=k, W=W, voxel_size=float(voxel_size),
+            max_dist_plane=float(max_dist_plane),
+            plane_threshold=float(plane_threshold),
+            max_num_matches=int(max_num_matches),
+            dynamic_gate=float(dynamic_gate))
         h_stats.loop_extrinsics = estimate_extrinsics
 
     if not with_debug:
@@ -346,6 +333,12 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
         glob = so3.quat_rotate(x.rot, pc) + x.pos
         n_abcd, keep = _rematch(glob)
         dist = plane_op.point_to_plane(n_abcd, glob)
+        # staleness telemetry at this iterate: how many queries' window
+        # certificates fail (each forces the exact re-gather path / the
+        # loop kernel's fallback) — observability for the re-match design
+        _sel, sel_sq = _window_rank(glob)
+        n_stale = jnp.sum(_stale_mask(glob, sel_sq).astype(jnp.int32),
+                          dtype=jnp.int32)
         if query_axis is not None:
             # pc was sliced to this device's query shard above, so the match
             # leaves are shard-local — but DebugOutput is declared replicated
@@ -359,6 +352,7 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
                 return g.reshape((-1,) + g.shape[2:])
 
             n_abcd, keep, dist = unshard(n_abcd), unshard(keep), unshard(dist)
-        return n_abcd, keep, dist
+            n_stale = jax.lax.psum(n_stale, query_axis)
+        return n_abcd, keep, dist, n_stale
 
     return h_rows, h_stats, h_debug

@@ -97,6 +97,11 @@ class DebugOutput(NamedTuple):
                                    # iterations (+inf if certified ≥ D)
     guard_fired: jnp.ndarray       # () bool: the degeneracy guard actually
                                    # zeroed directions (min_eig < D)
+    n_stale: jnp.ndarray           # () int32: queries whose window re-match
+                                   # certificate fails at the posterior
+                                   # (each forces the exact re-gather /
+                                   # loop-kernel fallback — see
+                                   # measurement._stale_mask)
 
 
 class ScanOutput(NamedTuple):
@@ -307,7 +312,7 @@ def build_scan_step(cfg: Config, *, donate: bool = True, jit: bool = True,
         if cfg.debug:
             # gated at trace time: with cfg.debug False none of this is in
             # the program (tests/test_debug.py asserts zero added cost)
-            n_abcd, keep, dist = h_closures[2](x_u)
+            n_abcd, keep, dist, n_stale = h_closures[2](x_u)
             out = out._replace(debug=DebugOutput(
                 orig_points=pts, orig_valid=pvalid,
                 deskewed=p_xt2, deskewed_valid=pvalid,
@@ -315,7 +320,8 @@ def build_scan_step(cfg: Config, *, donate: bool = True, jit: bool = True,
                 match_dist=dist,
                 gersh_min=udiag["gersh_min"],
                 min_eig=udiag["min_eig"],
-                guard_fired=udiag["guard_fired"] & do_update))
+                guard_fired=udiag["guard_fired"] & do_update,
+                n_stale=n_stale))
         return s_next, out
 
     if jit:

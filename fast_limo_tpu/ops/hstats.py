@@ -66,34 +66,46 @@ def hstats_reference(pc, n_abcd, keep, x: st.NavState, estimate_extrinsics):
     return H.T @ H, H.T @ h
 
 
-def stats_math(chans, s, *, estimate_extrinsics: bool, with_glob: bool = False):
+def rot_mat(w, a, b, c):
+    """3×3 rotation entries (scalars) of quaternion (w,a,b,c)."""
+    return (1 - 2 * (b * b + c * c), 2 * (a * b - w * c), 2 * (a * c + w * b),
+            2 * (a * b + w * c), 1 - 2 * (a * a + c * c), 2 * (b * c - w * a),
+            2 * (a * c - w * b), 2 * (b * c + w * a), 1 - 2 * (a * a + b * b))
+
+
+def glob_math(px, py, pz, s):
+    """World-frame query tiles ``R·p + t`` from the 14 state scalars."""
+    R00, R01, R02, R10, R11, R12, R20, R21, R22 = rot_mat(
+        s[0], s[1], s[2], s[3])
+    tx, ty, tz = s[4], s[5], s[6]
+    return (R00 * px + R01 * py + R02 * pz + tx,
+            R10 * px + R11 * py + R12 * pz + ty,
+            R20 * px + R21 * py + R22 * pz + tz)
+
+
+def stats_math(chans, s, *, estimate_extrinsics: bool, with_glob: bool = False,
+               glob=None):
     """The full per-iteration statistics chain on register values.
 
     ``chans`` = 8 (Nr,128) channel tiles [px py pz nx ny nz nd keep];
     ``s`` = 14 state scalars [rot(wxyz), pos, rot_LI(wxyz), t_LI].
     Returns ``(HᵀH (M,M), Hᵀh (M,))``; with ``with_glob`` additionally the
-    world-frame query tiles ``(gx, gy, gz)`` (the re-match certificate in
-    ops/update_loop.py measures per-point displacement from them).  Shared
-    by the single-call kernel below and the whole-loop update kernel."""
+    world-frame query tiles ``(gx, gy, gz)``.  ``glob`` skips the in-place
+    recompute when the caller already has the tiles (the window re-match
+    kernel needs them BEFORE the stats).  Shared by the single-call kernel
+    below and the whole-loop update kernel."""
     px, py, pz, nx, ny, nz, nd, keep = chans
     qw, qx, qy, qz = s[0], s[1], s[2], s[3]
-    tx, ty, tz = s[4], s[5], s[6]
     ew, ex, ey, ez = s[7], s[8], s[9], s[10]
     lx, ly, lz = s[11], s[12], s[13]
-
-    def rot_mat(w, a, b, c):
-        """3×3 rotation entries (scalars) of quaternion (w,a,b,c)."""
-        return (1 - 2 * (b * b + c * c), 2 * (a * b - w * c), 2 * (a * c + w * b),
-                2 * (a * b + w * c), 1 - 2 * (a * a + c * c), 2 * (b * c - w * a),
-                2 * (a * c - w * b), 2 * (b * c + w * a), 1 - 2 * (a * a + b * b))
 
     R00, R01, R02, R10, R11, R12, R20, R21, R22 = rot_mat(qw, qx, qy, qz)
     E00, E01, E02, E10, E11, E12, E20, E21, E22 = rot_mat(ew, ex, ey, ez)
 
     # glob = R p + t ; dist = n·glob + d
-    gx = R00 * px + R01 * py + R02 * pz + tx
-    gy = R10 * px + R11 * py + R12 * pz + ty
-    gz = R20 * px + R21 * py + R22 * pz + tz
+    if glob is None:
+        glob = glob_math(px, py, pz, s)
+    gx, gy, gz = glob
     dist = nx * gx + ny * gy + nz * gz + nd
 
     # C = Rᵀ n

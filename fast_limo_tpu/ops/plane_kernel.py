@@ -42,16 +42,16 @@ def _acos(x):
     return jnp.where(x < 0, jnp.float32(3.14159265358979) - pos, pos)
 
 
-def _kernel(X_ref, out_ref, *, Nr: int, k: int, num_match_points: int,
-            max_dist_plane: float, plane_threshold: float):
+def fit_math(nx, ny, nz, nv, kth, *, k: int, num_match_points: int,
+             max_dist_plane: float, plane_threshold: float):
+    """The whole fit + gates on channel-tile register values.
+
+    ``nx/ny/nz/nv`` are k-element lists of (Nr,128) tiles (neighbor coords
+    + 0/1 validity), ``kth`` the k-th squared distance tile.  Returns
+    ``(ux, uy, uz, d, good)`` with coefficients zeroed where gated out.
+    Shared by the standalone kernel below and the whole-loop window
+    re-match kernel (ops/update_loop.py)."""
     f32 = jnp.float32
-    ch = lambda i: X_ref[i * Nr:(i + 1) * Nr, :]
-    # layout: k×(x,y,z) neighbor channels, k validity channels, kth sq-dist
-    nx = [ch(3 * j + 0) for j in range(k)]
-    ny = [ch(3 * j + 1) for j in range(k)]
-    nz = [ch(3 * j + 2) for j in range(k)]
-    nv = [ch(3 * k + j) for j in range(k)]
-    kth = ch(4 * k)
 
     # ---- centroid over valid neighbors (SELECT-masked: invalid slots can
     # carry inf/NaN padding and ·0 would poison the sums) ----
@@ -164,10 +164,27 @@ def _kernel(X_ref, out_ref, *, Nr: int, k: int, num_match_points: int,
     good = enough & close & okn & res_ok & spread_ok & finite
 
     zero = jnp.zeros_like(cx)
-    out_ref[0 * Nr:1 * Nr, :] = jnp.where(good, ux, zero)
-    out_ref[1 * Nr:2 * Nr, :] = jnp.where(good, uy, zero)
-    out_ref[2 * Nr:3 * Nr, :] = jnp.where(good, uz, zero)
-    out_ref[3 * Nr:4 * Nr, :] = jnp.where(good, d, zero)
+    return (jnp.where(good, ux, zero), jnp.where(good, uy, zero),
+            jnp.where(good, uz, zero), jnp.where(good, d, zero), good)
+
+
+def _kernel(X_ref, out_ref, *, Nr: int, k: int, num_match_points: int,
+            max_dist_plane: float, plane_threshold: float):
+    f32 = jnp.float32
+    ch = lambda i: X_ref[i * Nr:(i + 1) * Nr, :]
+    # layout: k×(x,y,z) neighbor channels, k validity channels, kth sq-dist
+    nx = [ch(3 * j + 0) for j in range(k)]
+    ny = [ch(3 * j + 1) for j in range(k)]
+    nz = [ch(3 * j + 2) for j in range(k)]
+    nv = [ch(3 * k + j) for j in range(k)]
+    kth = ch(4 * k)
+    ux, uy, uz, d, good = fit_math(
+        nx, ny, nz, nv, kth, k=k, num_match_points=num_match_points,
+        max_dist_plane=max_dist_plane, plane_threshold=plane_threshold)
+    out_ref[0 * Nr:1 * Nr, :] = ux
+    out_ref[1 * Nr:2 * Nr, :] = uy
+    out_ref[2 * Nr:3 * Nr, :] = uz
+    out_ref[3 * Nr:4 * Nr, :] = d
     out_ref[4 * Nr:5 * Nr, :] = good.astype(f32)
 
 

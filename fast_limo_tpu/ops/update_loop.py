@@ -26,29 +26,33 @@ runs the reference's eigh guard EXACTLY via an in-kernel 6×6 Jacobi
 eigensolve with ascending sort (ops/update_body.jacobi_guard_head) —
 degenerate scans stay on the fast path.
 
-In-kernel re-match certificate (round 5, ``with_cert``).  The pack's 9th
-channel carries per-query squared stability margins (models/measurement.py
-docstring: voxel-band, kNN-set, close-gate and dynamic-gate margins); each
-iteration the kernel measures every point's world-frame displacement from
-the frozen-resolve pose (iteration 0's glob — the iterate STARTS at
-x_prop, where the correspondences were resolved) and ANDs
-``disp² < margin²`` into ``ok``.  While the certificate holds, a full
-per-iteration re-match would reproduce the frozen correspondences and
-gates exactly, so the frozen pack IS the reference's re-match-every-
-iteration semantics; when it fails the caller re-runs the exact
-per-iteration loop (whose own certified fast path falls back to a true
-re-gather per iteration).
+In-kernel EXACT window re-match (round 5).  With a window pack
+(`pack_window`) the kernel runs, per iteration, the full re-match over
+each query's frozen candidate WINDOW (top-(k+3) of its 8-block cube,
+resolved once at the predicted pose): true distances at the current
+iterate, exact k-smallest selection (ties → lowest slot, like lax.top_k),
+a fresh in-kernel plane fit (ops/plane_kernel.fit_math), the close /
+dynamic-object gates, and the MAX_NUM_MATCHES cap (inclusive point-order
+cumsum via two triangular matmuls + a row-prefix chain).  This IS the
+reference's re-match-every-iteration semantics (use-ikfom.cpp:10-31)
+whenever the per-query staleness certificates hold — the same certs as
+measurement._stale_mask: no candidate from outside the window can enter
+the top-k (gap d_W − d_k vs displacement) and block crossings keep
+coverage (voxel_size − leave).  Any violation over any active iteration
+sets ok=False and the caller re-runs the exact per-iteration jnp loop
+(which re-gathers on staleness).
 """
 
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from fast_limo_tpu.models import state as st
-from fast_limo_tpu.ops.hstats import stats_math
+from fast_limo_tpu.ops.hstats import glob_math, stats_math
 from fast_limo_tpu.ops.update_body import (
     NS, M, XF, _TOL, _bx, _iter_core, _quat_mul)
 
@@ -141,12 +145,177 @@ def _boxminus(xn, xp):
     return dx, ok1 & ok2 & ok3
 
 
+class Window(NamedTuple):
+    """Static window re-match parameters (hashable → jit-static)."""
+
+    k: int
+    W: int
+    voxel_size: float
+    max_dist_plane: float
+    plane_threshold: float
+    max_num_matches: int
+    dynamic_gate: float
+
+
+def pack_window(pc, pc_valid, nbrs_w, vld_w, cnt_w):
+    """((5+3W)·Nr, 128) channel stack for the window re-match loop kernel:
+    [px py pz pc_valid cnt | wx0 wy0 wz0 | wx1 … ].  Window slots are
+    distance-ascending from the frozen resolve, so slot j is valid ⇔
+    j < cnt; invalid-slot coords are zeroed (the kernel masks by cnt).
+    Bands / d_Wmax are NOT packed — the kernel re-derives them from
+    iteration 0's glob (the iterate STARTS at the resolve pose)."""
+    f32 = jnp.float32
+    N, W, _ = nbrs_w.shape
+    pad = (-N) % 128
+    Nr = (N + pad) // 128
+
+    def chanpad(x):
+        x = x.astype(f32)
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros(pad, f32)])
+        return x.reshape(Nr, 128)
+
+    safe = jnp.where(vld_w[..., None], nbrs_w, 0.0)
+    chans = [chanpad(pc[:, 0]), chanpad(pc[:, 1]), chanpad(pc[:, 2]),
+             chanpad(pc_valid.astype(f32)), chanpad(cnt_w.astype(f32))]
+    for j in range(W):
+        chans.append(chanpad(safe[:, j, 0]))
+        chans.append(chanpad(safe[:, j, 1]))
+        chans.append(chanpad(safe[:, j, 2]))
+    return jnp.concatenate(chans)
+
+
+_BIG = 3.0e38
+
+
+def _window_match_math(px, py, pz, pvld, cnt, wx, wy, wz, glob, it: int,
+                       frozen, win: Window):
+    """One iteration's EXACT window re-match on channel tiles.
+
+    Returns ``(plane channels (ux,uy,uz,d), keep, badq, frozen')`` where
+    ``frozen`` carries (g0, b0, band, d_wmax_d) captured at iteration 0 and
+    ``badq`` is the per-query staleness (measurement._stale_mask twin)."""
+    from fast_limo_tpu.ops.plane_kernel import fit_math
+
+    f32 = jnp.float32
+    k, W = win.k, win.W
+    h = f32(win.voxel_size)
+    gx, gy, gz = glob
+
+    d2 = []
+    for j in range(W):
+        slot_ok = cnt > f32(j) + 0.5                # j < cnt (integer cnt)
+        dxj, dyj, dzj = gx - wx[j], gy - wy[j], gz - wz[j]
+        d2.append(jnp.where(slot_ok, dxj * dxj + dyj * dyj + dzj * dzj,
+                            f32(_BIG)))
+
+    if it == 0:
+        dmax = d2[0]
+        for j in range(1, W):
+            dmax = jnp.maximum(dmax, d2[j])
+        b0 = []
+        band = []
+        for g in (gx, gy, gz):
+            v = jnp.floor(g / h)
+            b = jnp.floor((v - 1.0) * 0.5)
+            lo = (2.0 * b + 1.0) * h
+            b0.append(b)
+            band.append((lo, lo + 2.0 * h))
+        frozen = ((gx, gy, gz), tuple(b0), tuple(band), jnp.sqrt(dmax))
+
+    # ---- exact k-smallest selection (ties → lowest slot, like top_k) ----
+    taken = [jnp.zeros_like(gx) > 0 for _ in range(W)]
+    sxs, sys_, szs, svs = [], [], [], []
+    kth = None
+    for _i in range(k):
+        m = jnp.where(taken[0], f32(_BIG), d2[0])
+        for j in range(1, W):
+            m = jnp.minimum(m, jnp.where(taken[j], f32(_BIG), d2[j]))
+        found = jnp.zeros_like(gx) > 0
+        sx = jnp.zeros_like(gx)
+        sy = jnp.zeros_like(gx)
+        sz = jnp.zeros_like(gx)
+        for j in range(W):
+            pj = (~taken[j]) & (d2[j] == m) & (~found) & (m < f32(_BIG))
+            taken[j] = taken[j] | pj
+            found = found | pj
+            sx = jnp.where(pj, wx[j], sx)
+            sy = jnp.where(pj, wy[j], sy)
+            sz = jnp.where(pj, wz[j], sz)
+        sxs.append(sx)
+        sys_.append(sy)
+        szs.append(sz)
+        svs.append(found.astype(f32))
+        kth = m
+
+    ux, uy, uz, dpl, good = fit_math(
+        sxs, sys_, szs, svs, kth, k=k, num_match_points=k,
+        max_dist_plane=win.max_dist_plane,
+        plane_threshold=win.plane_threshold)
+    good = good & (pvld > 0)
+
+    if win.dynamic_gate > 0:
+        ad = jnp.abs(ux * gx + uy * gy + uz * gz + dpl)
+        gf = good.astype(f32)
+        m1 = jnp.sum(ad * gf) / jnp.maximum(jnp.sum(gf), 1.0)
+        trim = jnp.where(ad <= 3.0 * m1 + 0.05, gf, 0.0)
+        m2v = jnp.sum(ad * trim) / jnp.maximum(jnp.sum(trim), 1.0)
+        tau = jnp.maximum(f32(win.dynamic_gate) * m2v, f32(0.05))
+        good = good & (ad <= tau)
+
+    # ---- MAX_NUM_MATCHES cap: inclusive point-order cumsum.  Lane prefix
+    # via a strictly-lower-triangular (128,128) matmul; row prefix via an
+    # (Nr,Nr) triangular matmul on the row sums — exact (counts < 2^24) ----
+    goodf = good.astype(f32)
+    Nr = goodf.shape[0]
+    rowsum = jnp.sum(goodf, axis=1, keepdims=True)               # (Nr,1)
+    rT = (jax.lax.broadcasted_iota(jnp.int32, (Nr, Nr), 0)
+          > jax.lax.broadcasted_iota(jnp.int32, (Nr, Nr), 1)).astype(f32)
+    row_excl = jnp.dot(rT, rowsum, preferred_element_type=f32)   # (Nr,1)
+    lU = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+          < jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)).astype(f32)
+    lane_excl = jnp.dot(goodf, lU, preferred_element_type=f32)   # (Nr,128)
+    cum = row_excl + lane_excl + goodf
+    keep = good & (cum <= f32(win.max_num_matches))
+
+    # ---- staleness certificates (trivially clean at iteration 0) ----
+    if it == 0:
+        badq = jnp.zeros_like(gx) > 0
+    else:
+        (g0x, g0y, g0z), b0, band, d_wmax_d = frozen
+        ddx, ddy, ddz = gx - g0x, gy - g0y, gz - g0z
+        delta = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+        kth_d = jnp.sqrt(kth)
+        # the cnt<W clause is LOAD-BEARING (jnp _stale_mask twin): a
+        # partial window means the whole cube is inside it — no outside-
+        # window candidate exists.  Without it, sparse/frontier queries
+        # (kth = BIG ≥ d_wmax = BIG) would read stale on every scan.
+        cert_a = (cnt < f32(W) - 0.5) | (kth_d < d_wmax_d - delta)
+        b0same = jnp.ones_like(gx) > 0
+        leave = jnp.zeros_like(gx)
+        for g, b, (lo, hi) in zip((gx, gy, gz), b0, band):
+            v = jnp.floor(g / h)
+            b0same = b0same & (jnp.floor((v - 1.0) * 0.5) == b)
+            leave = jnp.maximum(leave, jnp.maximum(lo - g, g - hi))
+        cert_b = kth_d < h - jnp.maximum(leave, 0.0)
+        badq = (pvld > 0) & ~(cert_a & (b0same | cert_b))
+
+    return (ux, uy, uz, dpl), keep, badq, frozen
+
+
 def _loop_kernel(X_ref, P_ref, sc_ref, xn_ref, Pf_ref, aux_ref,
                  *, estimate_extrinsics: bool, Nr: int, max_iters: int,
-                 with_cert: bool):
+                 window):
     f32 = jnp.float32
-    chans = tuple(X_ref[i * Nr:(i + 1) * Nr, :] for i in range(8))
-    m2 = X_ref[8 * Nr:9 * Nr, :] if with_cert else None
+    if window is None:
+        chans = tuple(X_ref[i * Nr:(i + 1) * Nr, :] for i in range(8))
+    else:
+        W = window.W
+        ch = lambda i: X_ref[i * Nr:(i + 1) * Nr, :]
+        px, py, pz, pvld, cnt = ch(0), ch(1), ch(2), ch(3), ch(4)
+        wx = [ch(5 + 3 * j) for j in range(W)]
+        wy = [ch(5 + 3 * j + 1) for j in range(W)]
+        wz = [ch(5 + 3 * j + 2) for j in range(W)]
     xp = [sc_ref[0, i] for i in range(XF)]           # x_prop flattened
     inv_R = sc_ref[0, XF]
     limit = sc_ref[0, XF + 1]
@@ -165,7 +334,7 @@ def _loop_kernel(X_ref, P_ref, sc_ref, xn_ref, Pf_ref, aux_ref,
     gersh_min = jnp.asarray(jnp.inf, f32)
     min_eig = jnp.asarray(jnp.inf, f32)
 
-    g0 = None
+    frozen = None
     for it in range(max_iters + 1):
         xs = [x[i] for i in range(XF)]
         state_scalars = (
@@ -173,22 +342,18 @@ def _loop_kernel(X_ref, P_ref, sc_ref, xn_ref, Pf_ref, aux_ref,
             jnp.stack(xs[11:14]), jnp.stack(xs[14:17]), jnp.stack(xs[17:20]),
             jnp.stack(xs[20:23]), jnp.stack(xs[23:26]))
         hs = xs[3:7] + xs[0:3] + xs[7:11] + xs[11:14]   # rot pos rotLI tLI
-        if with_cert:
-            HTH, HTh, glob = stats_math(
-                chans, hs, estimate_extrinsics=estimate_extrinsics,
-                with_glob=True)
-            if it == 0:
-                # the iterate STARTS at x_prop == the frozen-resolve pose,
-                # so iteration 0's glob IS the resolve-time glob0
-                g0 = glob
-            else:
-                disp2 = ((glob[0] - g0[0]) ** 2 + (glob[1] - g0[1]) ** 2
-                         + (glob[2] - g0[2]) ** 2)
-                bad = jnp.sum(jnp.where(disp2 >= m2, 1.0, 0.0))
-                ok = ok & (done | (bad == 0.0))
-        else:
+        if window is None:
             HTH, HTh = stats_math(chans, hs,
                                   estimate_extrinsics=estimate_extrinsics)
+        else:
+            glob = glob_math(px, py, pz, hs)
+            (ux, uy, uz, dpl), keep, badq, frozen = _window_match_math(
+                px, py, pz, pvld, cnt, wx, wy, wz, glob, it, frozen, window)
+            nbad = jnp.sum(badq.astype(f32))
+            ok = ok & (done | (nbad == 0.0))
+            HTH, HTh = stats_math(
+                (px, py, pz, ux, uy, uz, dpl, keep.astype(f32)), hs,
+                estimate_extrinsics=estimate_extrinsics, glob=glob)
         xn, Pf, dx_, gersh, me = _iter_core(
             HTH, HTh, P, dx, state_scalars, gp, inv_R, guard_D=D)
 
@@ -218,27 +383,28 @@ def _loop_kernel(X_ref, P_ref, sc_ref, xn_ref, Pf_ref, aux_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "estimate_extrinsics", "max_iters", "with_cert", "interpret"))
+    "estimate_extrinsics", "max_iters", "window", "interpret"))
 def update_loop_tpu(X, P, x_prop: st.NavState, R, D, limit, *,
                     max_iters: int, estimate_extrinsics: bool,
-                    with_cert: bool = False, interpret: bool = False):
+                    window: Window = None, interpret: bool = False):
     """All masked update iterations in one launch.
 
-    ``X`` is the frozen-correspondence channel pack (hstats.pack_inputs);
-    with ``with_cert`` a 9th channel block carries the per-query squared
-    re-match stability margins (measurement.make_h_model).
+    ``X`` is either the frozen-correspondence channel pack
+    (hstats.pack_inputs; ``window=None`` — frozen-stats mode) or the
+    window pack (`pack_window` + a `Window` parameter tuple — the EXACT
+    per-iteration window re-match, module docstring).
     Returns ``(x_next (NavState), P_fin (23,23), n_iters (), ok (),
     gersh_min (), min_eig ())`` — the degeneracy guard runs EXACTLY
     in-kernel (Jacobi eigh), so ``ok`` certifies the atan-series regime of
-    the in-kernel boxminus AND (with_cert) the re-match stability of every
-    iteration; when False the caller must re-run the exact per-iteration
-    jnp loop.  ``gersh_min`` is conditioning telemetry (the Gershgorin
-    lower bound on the pose block, min over active iterations); ``min_eig``
-    is the exact smallest pose-block eigenvalue over active iterations
-    (min_eig < D ⇔ the guard zeroed directions).
+    the in-kernel boxminus AND (window mode) the staleness certificates of
+    every active iteration; when False the caller must re-run the exact
+    per-iteration jnp loop.  ``gersh_min`` is conditioning telemetry (the
+    Gershgorin lower bound on the pose block, min over active iterations);
+    ``min_eig`` is the exact smallest pose-block eigenvalue over active
+    iterations (min_eig < D ⇔ the guard zeroed directions).
     """
     f32 = jnp.float32
-    Nr = X.shape[0] // (9 if with_cert else 8)
+    Nr = X.shape[0] // (8 if window is None else 5 + 3 * window.W)
     sc = jnp.concatenate([
         st.as_vector(x_prop).astype(f32),
         jnp.asarray(1.0 / R, f32)[None],
@@ -249,7 +415,7 @@ def update_loop_tpu(X, P, x_prop: st.NavState, R, D, limit, *,
     xn, Pf, aux = pl.pallas_call(
         functools.partial(_loop_kernel,
                           estimate_extrinsics=estimate_extrinsics,
-                          Nr=Nr, max_iters=max_iters, with_cert=with_cert),
+                          Nr=Nr, max_iters=max_iters, window=window),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),

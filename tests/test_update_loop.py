@@ -2,6 +2,7 @@
 exact jnp loop (models/iekf.update_iterated), plus the in-kernel series
 manifold logs vs their atan2-based references."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -177,44 +178,142 @@ class TestWholeLoopKernel:
                                    rtol=1e-3, atol=2e-4)
 
 
-class TestRematchCertificate:
-    """with_cert: the 9th pack channel (per-query squared margins) must
-    gate ``ok`` on the iterates' world-frame displacement — huge margins
-    keep the kernel path bit-identical to the cert-less kernel; zero
-    margins force the exact-loop fallback signal as soon as the pose
-    moves."""
+class TestWindowRematchKernel:
+    """Window mode: the kernel's per-iteration EXACT window re-match
+    (re-rank, in-kernel refit, gates, cap) must reproduce the jnp
+    per-iteration loop built on the SAME window semantics, and its
+    staleness certificates must flag windows that cannot prove set
+    stability."""
 
-    def _pack(self, pc, n_abcd, keep, m2_value):
-        X = hstats.pack_inputs(pc, n_abcd, keep)
-        Nr = X.shape[0] // 8
-        m2 = jnp.full((Nr, 128), m2_value, jnp.float32)
-        return jnp.concatenate([X, m2])
+    WIN = update_loop.Window(k=5, W=8, voxel_size=1.2, max_dist_plane=2.0,
+                             plane_threshold=0.1, max_num_matches=300,
+                             dynamic_gate=0.0)
 
-    def test_wide_margins_pass_and_match(self, rng):
-        x_prop, P, pc, n_abcd, keep = _plane_case(rng)
+    def _window_fixture(self, rng, n_q=384, partial_frac=0.33):
+        """Queries + per-query top-W candidate windows from a planar world."""
+        x_prop, P, pc, _n, _keep = _plane_case(rng, n_pts=n_q)
+        pc = pc * 0.3                      # keep queries near the surfaces
+        from fast_limo_tpu.ops import so3 as so3_op
+
+        glob0 = so3_op.quat_rotate(x_prop.rot, pc) + x_prop.pos
+        # world surface points: local planar patches around each query
+        world = []
+        nrm = rng.standard_normal((n_q, 3))
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        for i in range(12):
+            t1 = np.cross(nrm, [0.1, 0.7, 0.2])
+            t1 /= np.linalg.norm(t1, axis=1, keepdims=True)
+            t2 = np.cross(nrm, t1)
+            a, b = rng.uniform(-0.5, 0.5, (2, n_q, 1))
+            world.append(np.asarray(glob0) + a * t1 + b * t2
+                         + 0.02 * rng.standard_normal((n_q, 3)))
+        world = np.concatenate(world).astype(np.float32)
+        d2 = (np.sum(np.asarray(glob0) ** 2, 1)[:, None]
+              + np.sum(world ** 2, 1)[None, :]
+              - 2.0 * np.asarray(glob0) @ world.T)
+        idx = np.argsort(d2, axis=1)[:, :self.WIN.W]
+        nbrs_w = np.asarray(world[idx])
+        # PARTIAL windows for a third of the queries (sparse/frontier
+        # regime: cnt < W, some cnt < k) — these exercised two real
+        # kernel-vs-jnp divergences (slot-validity off-by-one, missing
+        # cnt<W clause in cert_a) that full windows cannot see
+        cnt_w = np.full(n_q, self.WIN.W)
+        cut = rng.integers(0, self.WIN.W + 1, n_q)
+        partial = rng.random(n_q) < partial_frac
+        cnt_w = np.where(partial, cut, cnt_w)
+        vld_w = np.arange(self.WIN.W)[None, :] < cnt_w[:, None]
+        nbrs_w = np.where(vld_w[..., None], nbrs_w, 0.0).astype(np.float32)
+        pc_valid = jnp.asarray(rng.random(n_q) < 0.95)
+        return (x_prop, P, pc, pc_valid, jnp.asarray(nbrs_w),
+                jnp.asarray(vld_w), jnp.asarray(cnt_w))
+
+    def _jnp_h_model(self, pc, pc_valid, nbrs_w, vld_w, win):
+        """measurement._window_match twin on explicit window arrays."""
+        from fast_limo_tpu.ops import plane as plane_op
+        from fast_limo_tpu.ops import so3 as so3_op
+
+        def h_model(x):
+            glob = so3_op.quat_rotate(x.rot, pc) + x.pos
+            diff = glob[:, None, :] - nbrs_w
+            d2 = jnp.where(vld_w, jnp.sum(diff * diff, -1), jnp.inf)
+            neg, order = jax.lax.top_k(-d2, win.k)
+            sel_sq = -neg
+            sel = jnp.take_along_axis(nbrs_w, order[..., None], axis=1)
+            n_abcd, good = plane_op.fit_planes(
+                sel, sel_sq, jnp.isfinite(sel_sq),
+                num_match_points=win.k, max_dist_plane=win.max_dist_plane,
+                plane_threshold=win.plane_threshold)
+            good = good & pc_valid
+            keep = good & (jnp.cumsum(good.astype(jnp.int32))
+                           <= win.max_num_matches)
+            return hstats.hstats_reference(pc, n_abcd, keep, x, True)
+
+        return h_model
+
+    def test_matches_jnp_window_loop(self, rng):
+        import jax
+
+        x_prop, P, pc, pc_valid, nbrs_w, vld_w, cnt_w = \
+            self._window_fixture(rng)
         R, D, limit, max_iters = 1e-3, 5.0, 1e-3, 3
-        X8 = hstats.pack_inputs(pc, n_abcd, keep)
-        x_r, P_r, n_r, ok_r, _g, _me = update_loop.update_loop_tpu(
-            X8, P, x_prop, R, D, limit, max_iters=max_iters,
-            estimate_extrinsics=True, interpret=True)
-        X9 = self._pack(pc, n_abcd, keep, jnp.inf)
-        x_k, P_k, n_k, ok, _g2, _me2 = update_loop.update_loop_tpu(
-            X9, P, x_prop, R, D, limit, max_iters=max_iters,
-            estimate_extrinsics=True, with_cert=True, interpret=True)
-        assert bool(ok) and bool(ok_r)
-        assert int(n_k) == int(n_r)
-        np.testing.assert_array_equal(np.asarray(st.as_vector(x_k)),
-                                      np.asarray(st.as_vector(x_r)))
-        np.testing.assert_array_equal(np.asarray(P_k), np.asarray(P_r))
+        h_model = self._jnp_h_model(pc, pc_valid, nbrs_w, vld_w, self.WIN)
+        x_ref, P_ref, n_ref = iekf.update_iterated(
+            x_prop, P, h_model, R=R, D=D, max_iters=max_iters, limit=limit)
 
-    def test_zero_margins_flag_fallback(self, rng):
-        x_prop, P, pc, n_abcd, keep = _plane_case(rng)
-        # real residuals → the first iteration moves the pose → every
-        # query's disp² ≥ 0 == margin² → certificate must fail
-        X9 = self._pack(pc, n_abcd, keep, 0.0)
+        X = update_loop.pack_window(pc, pc_valid, nbrs_w, vld_w, cnt_w)
+        x_k, P_k, n_k, ok, _g, _me = update_loop.update_loop_tpu(
+            X, P, x_prop, R, D, limit, max_iters=max_iters,
+            estimate_extrinsics=True, window=self.WIN, interpret=True)
+        # parity holds regardless of ok: both sides run the SAME window
+        # re-match (ok merely reports whether a full re-gather could have
+        # differed — this fixture's tight windows legitimately flag it)
+        assert int(n_k) == int(n_ref)
+        np.testing.assert_allclose(
+            np.asarray(st.as_vector(x_k)), np.asarray(st.as_vector(x_ref)),
+            rtol=1e-4, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(P_k), np.asarray(P_ref),
+                                   rtol=1e-3, atol=2e-4)
+
+    def test_clean_geometry_passes_certificates(self, rng):
+        """Wide windows + small corrections → every staleness certificate
+        holds and the kernel keeps the fast path (ok=True)."""
+        x_prop, P, pc, pc_valid, nbrs_w, vld_w, cnt_w = \
+            self._window_fixture(rng, partial_frac=0.0)
+        # make every window WIDE-gapped: push the 3 farthest candidates far
+        # out so d_W − d_k is metres
+        nw = np.array(nbrs_w, copy=True)
+        from fast_limo_tpu.ops import so3 as so3_op
+
+        glob0 = np.asarray(so3_op.quat_rotate(x_prop.rot, pc) + x_prop.pos)
+        for j in range(self.WIN.k, self.WIN.W):
+            d = nw[:, j] - glob0
+            nw[:, j] = glob0 + d / np.maximum(
+                np.linalg.norm(d, axis=1, keepdims=True), 1e-9) * 3.0
+        vld = jnp.ones_like(vld_w, dtype=bool)
+        cnt = jnp.full(pc.shape[0], self.WIN.W)
+        X = update_loop.pack_window(pc, pc_valid, jnp.asarray(nw), vld, cnt)
         _x, _P, _n, ok, _g, _me = update_loop.update_loop_tpu(
-            X9, P, x_prop, 1e-3, 5.0, 1e-3, max_iters=3,
-            estimate_extrinsics=True, with_cert=True, interpret=True)
+            X, P, x_prop, 1e-3, 5.0, 1e-3, max_iters=3,
+            estimate_extrinsics=True, window=self.WIN, interpret=True)
+        assert bool(ok)
+
+    def test_tight_window_flags_staleness(self, rng):
+        """All W candidates equidistant from the query → d_W − d_k ≈ 0, so
+        ANY iterate displacement defeats cert_a → ok=False."""
+        x_prop, P, pc, pc_valid, nbrs_w, vld_w, cnt_w = \
+            self._window_fixture(rng)
+        from fast_limo_tpu.ops import so3 as so3_op
+
+        glob0 = so3_op.quat_rotate(x_prop.rot, pc) + x_prop.pos
+        # shell windows: candidates on a sphere around each query
+        dirs = rng.standard_normal((pc.shape[0], self.WIN.W, 3))
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        shell = np.asarray(glob0)[:, None, :] + 0.5 * dirs
+        X = update_loop.pack_window(pc, pc_valid, jnp.asarray(shell),
+                                    vld_w, cnt_w)
+        _x, _P, _n, ok, _g, _me = update_loop.update_loop_tpu(
+            X, P, x_prop, 1e-3, 5.0, 1e-3, max_iters=3,
+            estimate_extrinsics=True, window=self.WIN, interpret=True)
         assert not bool(ok)
 
 

@@ -52,17 +52,25 @@ def main():
     K = cfg.tpu.imu_batch
     dtype = jnp.float32
 
-    # warm the map like profile_stages
+    # warm the map with SURFACE-like structure (ground + walls, like the
+    # bench scenes): the round-5 window re-match certificates key on local
+    # candidate-distance gaps, which a uniform random cloud misrepresents
+    # (its tight uniform gaps read as perpetual staleness)
+    from fast_limo_tpu.io import synthetic as syn
+
+    world_np = syn.build_world(0, extent=120.0)
+    sel = rng.choice(len(world_np), 60000, replace=False)
+    world = jnp.asarray(world_np[sel], dtype)
     m = state.map
-    world = jnp.asarray(
-        rng.uniform([-100, -100, -2], [100, 100, 8], (60000, 3)), dtype)
     for i in range(0, 60000, 20000):
         m = mapper.insert(m, world[i:i + 20000], jnp.ones(20000, bool),
                           voxel_size=cfg.tpu.map_voxel_size)
     state = state._replace(map=m)
     jax.block_until_ready(state.map)
 
-    pts0 = jnp.asarray(rng.uniform(-40, 40, (N, 3)), dtype)
+    # scan = re-observations of the mapped surfaces + sensor noise
+    qsel = rng.choice(len(world_np), N, replace=False)
+    pts0 = jnp.asarray(world_np[qsel] + rng.normal(0, 0.01, (N, 3)), dtype)
     t_raw = jnp.asarray(np.linspace(0, 0.1, N), jnp.float32)
     valid = jnp.ones(N, bool)
     imu_acc = jnp.asarray(rng.normal(0, 0.05, (K, 3)) + [0, 0, 9.81], dtype)
