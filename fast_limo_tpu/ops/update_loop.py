@@ -333,6 +333,7 @@ def _loop_kernel(X_ref, P_ref, sc_ref, xn_ref, Pf_ref, aux_ref,
     nit = jnp.asarray(0, jnp.int32)
     gersh_min = jnp.asarray(jnp.inf, f32)
     min_eig = jnp.asarray(jnp.inf, f32)
+    bad_total = jnp.asarray(0.0, f32)
 
     frozen = None
     for it in range(max_iters + 1):
@@ -351,6 +352,7 @@ def _loop_kernel(X_ref, P_ref, sc_ref, xn_ref, Pf_ref, aux_ref,
                 px, py, pz, pvld, cnt, wx, wy, wz, glob, it, frozen, window)
             nbad = jnp.sum(badq.astype(f32))
             ok = ok & (done | (nbad == 0.0))
+            bad_total = bad_total + jnp.where(done, 0.0, nbad)
             HTH, HTh = stats_math(
                 (px, py, pz, ux, uy, uz, dpl, keep.astype(f32)), hs,
                 estimate_extrinsics=estimate_extrinsics, glob=glob)
@@ -380,13 +382,18 @@ def _loop_kernel(X_ref, P_ref, sc_ref, xn_ref, Pf_ref, aux_ref,
     aux_ref[0, 1] = ok.astype(f32)
     aux_ref[0, 2] = gersh_min
     aux_ref[0, 3] = min_eig
+    aux_ref[0, 4] = bad_total        # stale-query telemetry (window mode)
+    aux_ref[0, 5] = 0.0
+    aux_ref[0, 6] = 0.0
+    aux_ref[0, 7] = 0.0
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "estimate_extrinsics", "max_iters", "window", "interpret"))
+    "estimate_extrinsics", "max_iters", "window", "with_aux", "interpret"))
 def update_loop_tpu(X, P, x_prop: st.NavState, R, D, limit, *,
                     max_iters: int, estimate_extrinsics: bool,
-                    window: Window = None, interpret: bool = False):
+                    window: Window = None, with_aux: bool = False,
+                    interpret: bool = False):
     """All masked update iterations in one launch.
 
     ``X`` is either the frozen-correspondence channel pack
@@ -423,13 +430,16 @@ def update_loop_tpu(X, P, x_prop: st.NavState, R, D, limit, *,
         ],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 4), memory_space=pltpu.SMEM)),
+                   pl.BlockSpec((1, 8), memory_space=pltpu.SMEM)),
         out_shape=(jax.ShapeDtypeStruct((1, XF), f32),
                    jax.ShapeDtypeStruct((NS, NS), f32),
-                   jax.ShapeDtypeStruct((1, 4), f32)),
+                   jax.ShapeDtypeStruct((1, 8), f32)),
         interpret=interpret,
     )(X.astype(f32), P.astype(f32), sc)
 
     n_iters = aux[0, 0].astype(jnp.int32)
     ok = aux[0, 1] > 0
+    if with_aux:   # probes: aux[0,4] = summed stale count over iterations
+        return (st.from_vector(xn[0]), Pf, n_iters, ok, aux[0, 2],
+                aux[0, 3], aux)
     return st.from_vector(xn[0]), Pf, n_iters, ok, aux[0, 2], aux[0, 3]

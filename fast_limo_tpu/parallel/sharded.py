@@ -108,7 +108,8 @@ def comm_volume(cfg: Config, n_map: int, n_data: int = 1) -> dict:
     evals = cfg.ikfom.MAX_NUM_ITERS + 1
     # per resolve, per device: nbrs (N_q,kk,3) + sq (N_q,kk) from D_m−1 peers
     per_resolve = lambda kk: (n_map - 1) * n_q * kk * 4 * itemsize
-    knn_gather = per_resolve(k + 1) + per_resolve(k) * evals
+    # frozen resolve gathers the top-(k+3) WINDOW (measurement.make_h_model)
+    knn_gather = per_resolve(k + 3) + per_resolve(k) * evals
     # per body evaluation: HᵀH (12,12) + Hᵀh (12,) psum over 'data'
     stats_psum = (2 * (n_data - 1) / max(n_data, 1)) * 156 * itemsize * evals
     # MAX_NUM_MATCHES cap prefix: the per-shard keep-counts (one i32
