@@ -63,6 +63,7 @@ def _dump_debug(args, slam):
         min_eig=pick(dbg.min_eig),
         guard_fired=pick(dbg.guard_fired),
         n_stale=pick(dbg.n_stale),
+        loop_fallback=pick(dbg.loop_fallback),
         pos=pick(out.pos), quat=pick(out.quat))
     print(f"debug scan → {path}")
 

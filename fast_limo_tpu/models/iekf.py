@@ -467,13 +467,14 @@ def update_iterated(
             out = jax.lax.while_loop(cond, body, carry0)
         return out["x"], out["P"], out["i"] + 1, out["g"], out["me"]
 
-    def diag(g_o, me_o):
-        return {"gersh_min": g_o, "min_eig": me_o, "guard_fired": me_o < D}
+    def diag(g_o, me_o, fb):
+        return {"gersh_min": g_o, "min_eig": me_o, "guard_fired": me_o < D,
+                "loop_fallback": fb}
 
     if not use_loop_kernel:
         x_o, P_o, n_o, g_o, me_o = run_loop()
         if with_diag:
-            return x_o, P_o, n_o, diag(g_o, me_o)
+            return x_o, P_o, n_o, diag(g_o, me_o, jnp.asarray(False))
         return x_o, P_o, n_o
 
     from fast_limo_tpu.ops import update_loop
@@ -485,5 +486,5 @@ def update_iterated(
     x_o, P_o, n_o, g_o, me_o = jax.lax.cond(
         ok, lambda: (xk, Pk, nit_k, g_k, me_k), run_loop)
     if with_diag:
-        return x_o, P_o, n_o, diag(g_o, me_o)
+        return x_o, P_o, n_o, diag(g_o, me_o, ~ok)
     return x_o, P_o, n_o

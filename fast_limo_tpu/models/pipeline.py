@@ -102,6 +102,9 @@ class DebugOutput(NamedTuple):
                                    # (each forces the exact re-gather /
                                    # loop-kernel fallback — see
                                    # measurement._stale_mask)
+    loop_fallback: jnp.ndarray     # () bool: the whole-loop kernel's
+                                   # certificates failed and the exact
+                                   # per-iteration loop re-ran this scan
 
 
 class ScanOutput(NamedTuple):
@@ -321,7 +324,8 @@ def build_scan_step(cfg: Config, *, donate: bool = True, jit: bool = True,
                 gersh_min=udiag["gersh_min"],
                 min_eig=udiag["min_eig"],
                 guard_fired=udiag["guard_fired"] & do_update,
-                n_stale=n_stale))
+                n_stale=n_stale,
+                loop_fallback=udiag["loop_fallback"] & do_update))
         return s_next, out
 
     if jit:

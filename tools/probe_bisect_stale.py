@@ -59,7 +59,7 @@ def main():
     mp_cfg = cfg.ikfom.mapping
     acc_bl, gyro_bl, dt = preprocess.imu_to_baselink(
         imu_acc, imu_gyro, imu_stamp, s.last_prop_time, s.last_w_raw_bl,
-        R_imu2bl=jnp.eye(3, dtype), t_imu2bl=jnp.zeros(3, dtype))
+        R_imu2bl=jnp.eye(3, dtype=dtype), t_imu2bl=jnp.zeros(3, dtype))
     Q = proc.process_noise_Q(cfg.ikfom.cov_gyro, cfg.ikfom.cov_acc,
                              cfg.ikfom.cov_bias_gyro, cfg.ikfom.cov_bias_acc,
                              dtype)

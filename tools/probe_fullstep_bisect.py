@@ -199,6 +199,12 @@ def main():
         ts.append(time.perf_counter() - t0)
     t_null = float(np.median(ts)) / R * 1e3
     print(f"null: {t_null:7.3f} ms/iter ({'FAST' if t_null < 0.1 else 'DEGRADED - rerun'})")
+    if t_null >= 0.1 and os.environ.get("BISECT_ALLOW_DEGRADED", "") != "1":
+        # degraded tunnel regime: absolute readings are junk — exit nonzero
+        # so tools/tpu_run.sh retries in a fresh process (regime is
+        # per-process); set BISECT_ALLOW_DEGRADED=1 to keep going
+        print("degraded regime — exiting for tpu_run retry")
+        sys.exit(3)
 
     prev = 0.0
     for stage in ("A", "B", "C", "D", "E", "F", "G"):

@@ -68,6 +68,7 @@ def main():
     scans = [seq.scan(i) for i in range(n)]
     si = 0
     stales = []
+    fallbacks = []
     while si < n:
         for k in range(len(stamps)):
             loc.update_imu(stamps[k], acc[k], gyro[k])
@@ -77,6 +78,7 @@ def main():
                 if loc.last_output is not None and \
                         loc.last_output.debug is not None:
                     stales.append(int(loc.last_output.debug.n_stale))
+                    fallbacks.append(bool(loc.last_output.debug.loop_fallback))
                 si += 1
         break
     s = np.asarray(stales)
@@ -85,6 +87,10 @@ def main():
           f"p50={np.median(s):.0f}  p90={np.quantile(s, 0.9):.0f}  "
           f"max={s.max()}")
     print("per-scan:", s.tolist())
+    if fallbacks:
+        f = np.asarray(fallbacks)
+        print(f"loop-kernel fallback frac: {f.mean():.2f} "
+              f"({int(f.sum())}/{len(f)} scans)")
 
 
 if __name__ == "__main__":
