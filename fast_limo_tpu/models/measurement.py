@@ -24,6 +24,12 @@ class MatchStats(NamedTuple):
     n_matches: jnp.ndarray   # () int32
 
 
+def window_size(k: int) -> int:
+    """Frozen re-match WINDOW per query (single source: the sharded comm
+    model and the loop kernel pack both key on it)."""
+    return k + 7
+
+
 def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
                  voxel_size: float, k: int, probes: int,
                  max_dist_plane: float, plane_threshold: float,
@@ -55,7 +61,7 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
     the reference's "re-match every iteration" (h_share_model,
     use-ikfom.cpp:10-31), at resolve-once gather cost.  The candidate
     neighborhood is resolved ONCE at ``x0`` (the predicted pose) as a
-    top-(k+3) WINDOW per query; every iteration then re-matches EXACTLY
+    top-W WINDOW per query (`window_size`); every iteration then re-matches EXACTLY
     over that window — true distances at the iterate, exact top-k
     selection (so ties and reorderings cost nothing), a fresh plane fit,
     and every pose-dependent gate/cap recomputed — plus per-query
@@ -190,12 +196,17 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
     assert x0 is not None, "make_h_model needs the predicted pose x0"
     import jax
 
-    W = k + 3   # candidate WINDOW per query: the per-iteration re-rank is
+    W = window_size(k)   # candidate WINDOW per query: the re-rank is
                 # EXACT inside the window (true distances, refit), so ties
                 # and near-boundary reorderings cost nothing; only a
                 # candidate from OUTSIDE the window entering the top-k (gap
                 # d_W − d_k, rarely < the iterate's displacement) or a
-                # sparse-region block crossing marks a query stale
+                # sparse-region block crossing marks a query stale.  k+7:
+                # at k+3 the d_W−d_k gap still lost the certificate on
+                # ~half the bench scans (1-5 near-tie queries of 10k, TPU
+                # replay probe); the deeper window costs ~4 extra k-min
+                # extraction passes in the resolve and widens the gap to
+                # rarely-beaten range
     glob0 = so3.quat_rotate(x0.rot, pc) + x0.pos
     nbrs_w, sq_w, vld_w = _topk(_gather(glob0), glob0, kk=W)
     cnt_w = jnp.sum(vld_w, axis=-1)

@@ -99,7 +99,7 @@ def comm_volume(cfg: Config, n_map: int, n_data: int = 1) -> dict:
     # the unrolled masked update executes MAX_NUM_ITERS+1 body evaluations
     # (reference loop i = −1 … max−1, esekfom.hpp:1637).  Since round 5 the
     # measurement model is the CERTIFIED exact re-match (measurement.py):
-    # ONE frozen top-(k+1) resolve at the predicted pose, and per
+    # ONE frozen top-W window resolve at the predicted pose, and per
     # evaluation a `lax.cond` whose certificate-failure branch re-gathers
     # at size k.  This model counts the STATIC collectives of the compiled
     # program (asserted against HLO below); the traffic that actually
@@ -108,8 +108,9 @@ def comm_volume(cfg: Config, n_map: int, n_data: int = 1) -> dict:
     evals = cfg.ikfom.MAX_NUM_ITERS + 1
     # per resolve, per device: nbrs (N_q,kk,3) + sq (N_q,kk) from D_m−1 peers
     per_resolve = lambda kk: (n_map - 1) * n_q * kk * 4 * itemsize
-    # frozen resolve gathers the top-(k+3) WINDOW (measurement.make_h_model)
-    knn_gather = per_resolve(k + 3) + per_resolve(k) * evals
+    # frozen resolve gathers the top-W WINDOW (measurement.window_size)
+    from fast_limo_tpu.models.measurement import window_size
+    knn_gather = per_resolve(window_size(k)) + per_resolve(k) * evals
     # per body evaluation: HᵀH (12,12) + Hᵀh (12,) psum over 'data'
     stats_psum = (2 * (n_data - 1) / max(n_data, 1)) * 156 * itemsize * evals
     # MAX_NUM_MATCHES cap prefix: the per-shard keep-counts (one i32
@@ -127,7 +128,8 @@ def comm_volume(cfg: Config, n_map: int, n_data: int = 1) -> dict:
     gate = cfg.ikfom.mapping.DYNAMIC_GATE
     gate_psum = (2 * (n_data - 1) / n_data * 4 * itemsize * 2 * evals
                  if (gate > 0 and n_data > 1) else 0)
-    executed = (per_resolve(k + 1) + stats_psum + cert_psum + count_psum
+    executed = (per_resolve(window_size(k)) + stats_psum + cert_psum
+                + count_psum
                 + (cap_gather + gate_psum) / 2)
     return {
         "knn_allgather_bytes": int(knn_gather),
