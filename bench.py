@@ -124,10 +124,14 @@ def make_seq(scene: str, seed: int, n_scans: int):
     class that historically stressed the (now-retired) reduced-coverage
     neighborhood knobs, kept as the sparse/high-rate stress band;
     dynamic = the benign corridor plus crossing vehicle-sized movers
-    (the KITTI-0071 regime the reference showcases, README.md:50-55)."""
+    (the KITTI-0071 regime the reference showcases, README.md:50-55);
+    realistic = HDL-64-style sensor realism (VERDICT r4 #7): 64 discrete
+    elevation beams at 1.73 m mount height, AZIMUTH-COUPLED per-point
+    firing times, range-dependent dropout, IMU bias random walk."""
     from fast_limo_tpu.io import synthetic as syn
 
     dyn = 0
+    kw = {}
     if scene == "adversarial":
         world = syn.build_world(seed, n_wall_pts=30_000, n_ground_pts=30_000)
         traj = syn.Trajectory(v_forward=12.0, yaw_amp=1.4, yaw_freq=0.35,
@@ -137,10 +141,13 @@ def make_seq(scene: str, seed: int, n_scans: int):
         traj = syn.Trajectory(v_forward=15.0, yaw_amp=0.5)
         if scene == "dynamic":
             dyn = 6
+        elif scene == "realistic":
+            kw = dict(ring_beams=64, sensor_height=1.73, dropout=0.15,
+                      bias_walk_gyro=2e-4, bias_walk_acc=2e-3)
     return syn.SyntheticSequence(
         seed=seed, n_scans=n_scans, points_per_scan=32768,
         noise_pt=0.01, noise_gyro=5e-4, noise_acc=5e-3,
-        traj=traj, world=world, dynamic_objects=dyn)
+        traj=traj, world=world, dynamic_objects=dyn, **kw)
 
 
 def replay_ate(cfg, seq) -> float:
@@ -169,7 +176,7 @@ def ate_sweep(seeds, n_scans: int = 48) -> dict:
     reference-exact config + an adversarial scene, not one lucky seed)."""
     out = {}
     for knobs, cfg in (("fast", kitti_like_cfg()), ("exact", exact_cfg())):
-        for scene in (("benign", "adversarial", "dynamic")
+        for scene in (("benign", "adversarial", "dynamic", "realistic")
                       if knobs == "fast" else ("benign", "adversarial")):
             ates = [replay_ate(cfg, make_seq(scene, s, n_scans))
                     for s in seeds]

@@ -261,6 +261,12 @@ class SyntheticSequence:
         self.traj = self.traj or Trajectory()
         if self.world is None:
             self.world = build_world(self.seed)
+            if self.sensor_height:
+                # mount the sensor above the default world's ground plane
+                # (only applied to the default world: a custom world's
+                # frame is the caller's business)
+                self.world = self.world - np.array(
+                    [0.0, 0.0, self.sensor_height], np.float32)
 
     # ---- dynamic-object kinematics (pure function of time) ----
     def _object_state(self, o: int, t):

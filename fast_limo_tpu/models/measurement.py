@@ -24,6 +24,9 @@ class MatchStats(NamedTuple):
     n_matches: jnp.ndarray   # () int32
 
 
+STALE_BUDGET = 128   # default per-device budget for the stale-patch branch
+
+
 def window_size(k: int) -> int:
     """Frozen re-match WINDOW per query (single source: the sharded comm
     model and the loop kernel pack both key on it)."""
@@ -38,7 +41,7 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
                  query_axis: str = None, num_query_shards: int = 1,
                  knn_refresh: str = "always", x0: st.NavState = None,
                  neighborhood: int = 27, with_debug: bool = False,
-                 dynamic_gate: float = 0.0):
+                 dynamic_gate: float = 0.0, stale_budget: int = STALE_BUDGET):
     """Build the measurement closures over baselink-frame points pc.
 
     Returns ``(h_rows, h_stats)`` where ``h_rows(x) -> (H (Nq,12), h (Nq,))``
@@ -245,27 +248,62 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
         cert_b = kth_d < voxel_size - jnp.maximum(leave, 0.0)
         return pc_valid & ~(cert_a & (b0_same | cert_b))
 
-    def _window_match(glob):
-        """EXACT re-match over the window: true top-k, fresh plane fit,
-        every gate recomputed at the current pose."""
+    def _window_fit(glob):
+        """Window re-rank + fresh fit (no pc_valid/dynamic/cap yet)."""
         sel_nbrs, sel_sq = _window_rank(glob)
-        n_abcd, good = plane_op.fit_planes(
+        return plane_op.fit_planes(
             sel_nbrs, sel_sq, jnp.isfinite(sel_sq), num_match_points=k,
             max_dist_plane=max_dist_plane, plane_threshold=plane_threshold)
+
+    def _finish(n_abcd, good, glob):
         good = _dyn_gate(good & pc_valid, n_abcd, glob)
         return n_abcd, _cap(good)
 
+    def _window_match(glob):
+        """EXACT re-match over the window: true top-k, fresh plane fit,
+        every gate recomputed at the current pose."""
+        return _finish(*_window_fit(glob), glob)
+
+    def _patched_match(glob, stale):
+        """Window re-match with the ≤ stale_budget certificate-failed
+        queries FULLY re-resolved (fresh 8-block gather + top-k + fit at
+        the current pose) and merged — exact at a fraction of the full
+        re-gather's cost when only a handful of queries are stale."""
+        n_w, good_w = _window_fit(glob)
+        _v, idx = jax.lax.top_k(stale.astype(jnp.float32), stale_budget)
+        sel_ok = _v > 0.5                       # padded picks are non-stale
+        qg = glob[idx]
+        nbrs_s, sq_s, vld_s = _topk(_gather(qg), qg, kk=k)
+        n_s, good_s = plane_op.fit_planes(
+            nbrs_s, sq_s, vld_s, num_match_points=k,
+            max_dist_plane=max_dist_plane, plane_threshold=plane_threshold)
+        n_m = n_w.at[idx].set(jnp.where(sel_ok[:, None], n_s, n_w[idx]))
+        good_m = good_w.at[idx].set(jnp.where(sel_ok, good_s, good_w[idx]))
+        return _finish(n_m, good_m, glob)
+
     def _rematch(glob):
-        """Per-iteration exact re-match: window fast path; full re-gather
-        only when some query's certificate fails (rare — see _stale_mask)."""
+        """Per-iteration exact re-match: window fast path; the rare
+        certificate failures (see _stale_mask) patch just the stale
+        queries; a full re-gather only when they exceed the budget."""
         _sel_nbrs, sel_sq = _window_rank(glob)
+        stale = _stale_mask(glob, sel_sq)
         # dtype pinned: under x64 test mode jnp.sum would promote to int64
         # and double the certificate psum's wire size (comm_volume models 4 B)
-        viol = jnp.sum(_stale_mask(glob, sel_sq).astype(jnp.int32),
-                       dtype=jnp.int32)
+        local_viol = jnp.sum(stale.astype(jnp.int32), dtype=jnp.int32)
         if query_axis is not None:
-            viol = jax.lax.psum(viol, query_axis)
-        return jax.lax.cond(viol == 0, _window_match, _match, glob)
+            viol = jax.lax.psum(local_viol, query_axis)
+            # the branch predicates must AGREE across devices (both inner
+            # branches run collectives): budget on the WORST shard
+            over = jax.lax.pmax(local_viol, query_axis)
+        else:
+            viol = local_viol
+            over = local_viol
+        return jax.lax.cond(
+            viol == 0, _window_match,
+            lambda g: jax.lax.cond(
+                over <= stale_budget,
+                lambda gg: _patched_match(gg, stale), _match, g),
+            glob)
 
     def h_rows(x: st.NavState):
         dtype = pc.dtype

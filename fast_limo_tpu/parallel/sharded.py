@@ -106,31 +106,36 @@ def comm_volume(cfg: Config, n_map: int, n_data: int = 1) -> dict:
     # EXECUTES on a certificate-clean scan is only the frozen resolve plus
     # the per-eval scalar reductions — reported as executed_typical_bytes.
     evals = cfg.ikfom.MAX_NUM_ITERS + 1
-    # per resolve, per device: nbrs (N_q,kk,3) + sq (N_q,kk) from D_m−1 peers
-    per_resolve = lambda kk: (n_map - 1) * n_q * kk * 4 * itemsize
-    # frozen resolve gathers the top-W WINDOW (measurement.window_size)
-    from fast_limo_tpu.models.measurement import window_size
-    knn_gather = per_resolve(window_size(k)) + per_resolve(k) * evals
+    # per resolve: nbrs (Nq,kk,3) + sq (Nq,kk) from D_m−1 peers
+    per_resolve = lambda kk, nq: (n_map - 1) * nq * kk * 4 * itemsize
+    # ONE frozen top-W window resolve, plus per evaluation the two
+    # certificate-failure branches: the budgeted stale-patch re-resolve
+    # (STALE_BUDGET queries/device) and the full re-gather
+    from fast_limo_tpu.models.measurement import STALE_BUDGET, window_size
+    knn_gather = (per_resolve(window_size(k), n_q)
+                  + (per_resolve(k, n_q)
+                     + per_resolve(k, STALE_BUDGET)) * evals)
     # per body evaluation: HᵀH (12,12) + Hᵀh (12,) psum over 'data'
     stats_psum = (2 * (n_data - 1) / max(n_data, 1)) * 156 * itemsize * evals
     # MAX_NUM_MATCHES cap prefix: the per-shard keep-counts (one i32
-    # scalar) all_gathered over 'data' — statically present in BOTH cond
-    # branches of every evaluation
-    cap_gather = (n_data - 1) * 4 * 2 * evals if n_data > 1 else 0
-    # re-match certificate: one i32 violation-count psum over 'data'/eval
-    cert_psum = (2 * (n_data - 1) / n_data * 4 * evals
+    # scalar) all_gathered over 'data' — statically present in all THREE
+    # cond branches of every evaluation (window / patched / full)
+    cap_gather = (n_data - 1) * 4 * 3 * evals if n_data > 1 else 0
+    # re-match certificate: violation-count psum + worst-shard pmax (two
+    # i32 scalar all-reduces over 'data' per eval)
+    cert_psum = (2 * (n_data - 1) / n_data * 4 * 2 * evals
                  if n_data > 1 else 0)
     # replicated global num_points: one scalar (i32) psum over 'map'
     count_psum = 2 * (n_map - 1) / n_map * 4 if n_map > 1 else 0
     # dynamic-object residual gate (MappingConfig.DYNAMIC_GATE): its
     # two-pass robust mean needs 2 rounds × (Σ|r|, Σw) scalar psums over
-    # 'data' — 4 f32 scalars, in BOTH cond branches of every evaluation
+    # 'data' — 4 f32 scalars, in all THREE cond branches of every eval
     gate = cfg.ikfom.mapping.DYNAMIC_GATE
-    gate_psum = (2 * (n_data - 1) / n_data * 4 * itemsize * 2 * evals
+    gate_psum = (2 * (n_data - 1) / n_data * 4 * itemsize * 3 * evals
                  if (gate > 0 and n_data > 1) else 0)
-    executed = (per_resolve(window_size(k)) + stats_psum + cert_psum
+    executed = (per_resolve(window_size(k), n_q) + stats_psum + cert_psum
                 + count_psum
-                + (cap_gather + gate_psum) / 2)
+                + (cap_gather + gate_psum) / 3)
     return {
         "knn_allgather_bytes": int(knn_gather),
         "cap_allgather_bytes": int(cap_gather),

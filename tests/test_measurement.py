@@ -44,12 +44,12 @@ def _state(pos, dtype=jnp.float32):
                       grav=s2.project(jnp.asarray([0, 0, -9.81], dtype)))
 
 
-def _mk(m, voxel, pc, pc_valid, x0, gate=0.0):
+def _mk(m, voxel, pc, pc_valid, x0, gate=0.0, budget=128):
     return measurement.make_h_model(
         m, pc, pc_valid, voxel_size=voxel, k=5, probes=8,
         max_dist_plane=5.0, plane_threshold=0.1, max_num_matches=512,
         estimate_extrinsics=True, knn_refresh="always", x0=x0,
-        dynamic_gate=gate)
+        dynamic_gate=gate, stale_budget=budget)
 
 
 class TestCertifiedRematch:
@@ -81,6 +81,32 @@ class TestCertifiedRematch:
             # discrete keep decisions must agree EXACTLY (same sets/gates)
             np.testing.assert_array_equal(
                 np.asarray(H_a[:, 0] != 0), np.asarray(H_b[:, 0] != 0))
+
+    @pytest.mark.parametrize("gate", [0.0, 4.0])
+    def test_patched_branch_is_exact(self, rng, gate):
+        """The budgeted stale-patch branch (0 < stale ≤ budget: re-resolve
+        ONLY the stale queries, merge into the window results) must equal a
+        fresh full resolve.  Forced by a multi-voxel delta (everything
+        stale) with the budget raised to cover all queries."""
+        m, voxel = _world_map(rng)
+        n_q = 192
+        pc = jnp.asarray(np.stack([
+            rng.uniform(-8, 8, n_q), rng.uniform(-2, 3.8, n_q),
+            rng.uniform(0.0, 2.0, n_q)], 1).astype(np.float32))
+        pc_valid = jnp.asarray(rng.random(n_q) < 0.95)
+        x0 = _state([0.3, -0.2, 0.9])
+        x = x0._replace(pos=x0.pos + jnp.asarray([1.9, -1.2, 0.4],
+                                                 jnp.float32))
+        patched_model = _mk(m, voxel, pc, pc_valid, x0, gate, budget=n_q)
+        fresh_model = _mk(m, voxel, pc, pc_valid, x, gate)
+        H_a, h_a = patched_model[0](x)
+        H_b, h_b = fresh_model[0](x)
+        np.testing.assert_allclose(np.asarray(H_a), np.asarray(H_b),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(h_a), np.asarray(h_b),
+                                   atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(H_a[:, 0] != 0),
+                                      np.asarray(H_b[:, 0] != 0))
 
     def test_large_delta_is_bitwise_full_match(self, rng):
         """Past the margins the fallback re-gathers at x — bit-identical to

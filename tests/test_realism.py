@@ -15,7 +15,7 @@ def realistic_seq(n_scans=10, points=4096):
     return synthetic.SyntheticSequence(
         seed=3, n_scans=n_scans, points_per_scan=points,
         noise_pt=0.01, noise_gyro=5e-4, noise_acc=5e-3,
-        ring_beams=64, dropout=0.15,
+        ring_beams=64, sensor_height=1.73, dropout=0.15,
         bias_walk_gyro=2e-4, bias_walk_acc=2e-3)
 
 
@@ -49,12 +49,15 @@ class TestRingGeometry:
         assert np.quantile(err, 0.95) < 2e-4, np.quantile(err, 0.95)
 
     def test_dropout_thins_far_returns(self):
+        # points_per_scan above the on-beam candidate count, so the return
+        # counts are dropout-limited, not cap-limited
         base = synthetic.SyntheticSequence(seed=3, n_scans=4,
-                                           points_per_scan=4096,
-                                           ring_beams=64)
+                                           points_per_scan=65536,
+                                           ring_beams=64, sensor_height=1.73)
         drop = synthetic.SyntheticSequence(seed=3, n_scans=4,
-                                           points_per_scan=4096,
-                                           ring_beams=64, dropout=0.6)
+                                           points_per_scan=65536,
+                                           ring_beams=64, sensor_height=1.73,
+                                           dropout=0.6)
         _s0, p0, _ = base.scan(1)
         _s1, p1, _ = drop.scan(1)
         assert len(p1) < len(p0)

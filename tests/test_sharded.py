@@ -193,8 +193,15 @@ class TestShardedLifecycle:
         v42 = sharded.comm_volume(cfg, 4, 2)
         assert v1["knn_allgather_bytes"] == 0       # single chip: no ICI
         assert v4["knn_allgather_bytes"] > 0
-        # query sharding halves the per-device gather payload
-        assert v42["knn_allgather_bytes"] == v4["knn_allgather_bytes"] // 2
+        # query sharding halves the per-device gather payload of the
+        # n_q-proportional terms; the stale-patch branch's fixed
+        # per-device budget does not scale with 'data'
+        from fast_limo_tpu.models.measurement import STALE_BUDGET
+        k = cfg.ikfom.mapping.NUM_MATCH_POINTS
+        evals = cfg.ikfom.MAX_NUM_ITERS + 1
+        patched = 3 * STALE_BUDGET * k * 4 * 4 * evals   # (n_map−1)=3
+        assert v42["knn_allgather_bytes"] == \
+            (v4["knn_allgather_bytes"] - patched) // 2 + patched
         assert v42["hstats_psum_bytes"] > 0
 
     def test_comm_model_matches_compiled_hlo_1d(self):
