@@ -12,7 +12,7 @@ real fusions in between = the collective rides the ICI while the cores
 compute; start immediately followed by done = a synchronization bubble.
 
 Run: tools/tpu_run.sh 900 python tools/probe_comm_overlap.py
-Writes OVERLAP_r04.json at the repo root.
+Writes OVERLAP_r05.json at the repo root.
 """
 
 import json
@@ -146,7 +146,7 @@ def main():
     }
     print(json.dumps(out, indent=1))
     with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "OVERLAP_r04.json"), "w") as f:
+            os.path.abspath(__file__))), "OVERLAP_r05.json"), "w") as f:
         json.dump(out, f, indent=1)
 
 
