@@ -123,6 +123,11 @@ def cmd_synthetic(args):
     stamps, acc, gyro = seq.imu_stream()
     scans = [seq.scan(i) for i in range(args.scans)]
     si = max(0, args.start_scan)
+    need = si + 2 if (args.load_session and args.relocalize) else si + 1
+    if need > args.scans:
+        print(json.dumps({"error": f"--start-scan {args.start_scan} needs "
+                          f">= {need} scans, have {args.scans}"}))
+        return 1
     t_floor = -np.inf if si == 0 else scans[si - 1][0]
     if args.load_session and args.relocalize:
         t_floor = _reloc_bootstrap(args, slam, scans[si], scans[si + 1])

@@ -248,9 +248,15 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
         cert_b = kth_d < voxel_size - jnp.maximum(leave, 0.0)
         return pc_valid & ~(cert_a & (b0_same | cert_b))
 
-    def _window_fit(glob):
-        """Window re-rank + fresh fit (no pc_valid/dynamic/cap yet)."""
-        sel_nbrs, sel_sq = _window_rank(glob)
+    # the patch budget cannot exceed the (per-shard) query count — top_k
+    # with k > axis size is a trace-time error, and BOTH cond branches are
+    # always traced even on configs where nothing is ever stale
+    budget = min(int(stale_budget), int(pc.shape[0]))
+
+    def _window_fit(glob, ranked):
+        """Fresh fit over the pre-ranked window selection (no
+        pc_valid/dynamic/cap yet)."""
+        sel_nbrs, sel_sq = ranked
         return plane_op.fit_planes(
             sel_nbrs, sel_sq, jnp.isfinite(sel_sq), num_match_points=k,
             max_dist_plane=max_dist_plane, plane_threshold=plane_threshold)
@@ -259,18 +265,20 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
         good = _dyn_gate(good & pc_valid, n_abcd, glob)
         return n_abcd, _cap(good)
 
-    def _window_match(glob):
+    def _window_match(args):
         """EXACT re-match over the window: true top-k, fresh plane fit,
         every gate recomputed at the current pose."""
-        return _finish(*_window_fit(glob), glob)
+        glob, ranked, _stale = args
+        return _finish(*_window_fit(glob, ranked), glob)
 
-    def _patched_match(glob, stale):
-        """Window re-match with the ≤ stale_budget certificate-failed
-        queries FULLY re-resolved (fresh 8-block gather + top-k + fit at
-        the current pose) and merged — exact at a fraction of the full
+    def _patched_match(args):
+        """Window re-match with the ≤ budget certificate-failed queries
+        FULLY re-resolved (fresh 8-block gather + top-k + fit at the
+        current pose) and merged — exact at a fraction of the full
         re-gather's cost when only a handful of queries are stale."""
-        n_w, good_w = _window_fit(glob)
-        _v, idx = jax.lax.top_k(stale.astype(jnp.float32), stale_budget)
+        glob, ranked, stale = args
+        n_w, good_w = _window_fit(glob, ranked)
+        _v, idx = jax.lax.top_k(stale.astype(jnp.float32), budget)
         sel_ok = _v > 0.5                       # padded picks are non-stale
         qg = glob[idx]
         nbrs_s, sq_s, vld_s = _topk(_gather(qg), qg, kk=k)
@@ -285,8 +293,8 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
         """Per-iteration exact re-match: window fast path; the rare
         certificate failures (see _stale_mask) patch just the stale
         queries; a full re-gather only when they exceed the budget."""
-        _sel_nbrs, sel_sq = _window_rank(glob)
-        stale = _stale_mask(glob, sel_sq)
+        ranked = _window_rank(glob)
+        stale = _stale_mask(glob, ranked[1])
         # dtype pinned: under x64 test mode jnp.sum would promote to int64
         # and double the certificate psum's wire size (comm_volume models 4 B)
         local_viol = jnp.sum(stale.astype(jnp.int32), dtype=jnp.int32)
@@ -298,12 +306,15 @@ def make_h_model(m: mp.VoxelHashMap, pc, pc_valid, *,
         else:
             viol = local_viol
             over = local_viol
+        # the ranked selection rides into the branches as an operand — XLA
+        # cannot CSE across the cond boundary, so recomputing it inside
+        # would double the dominant (N,W) distance + top_k work per eval
         return jax.lax.cond(
             viol == 0, _window_match,
-            lambda g: jax.lax.cond(
-                over <= stale_budget,
-                lambda gg: _patched_match(gg, stale), _match, g),
-            glob)
+            lambda args: jax.lax.cond(
+                over <= budget, _patched_match,
+                lambda a: _match(a[0]), args),
+            (glob, ranked, stale))
 
     def h_rows(x: st.NavState):
         dtype = pc.dtype

@@ -79,7 +79,12 @@ def relocalize(query_cloud, query_valid, keyframes: List, *,
             # point-to-plane refinement (the GICP step of the reference's
             # relocation branch): p2p Kabsch plateaus at the 1024-pt
             # sampling distance (~0.3-0.8 m), which then persists as a
-            # world-frame offset of the whole resumed run
+            # world-frame offset of the whole resumed run.  Accepted only
+            # if it stays NEAR the gated coarse pose (one-sided normal
+            # fields let p2l slide along their null directions with high
+            # inlier counts), and candidate arbitration keeps the COARSE
+            # point-metric rmse so refined (plane-metric) and unrefined
+            # candidates stay comparable.
             dst_c = (kf.rebuild_cloud if getattr(kf, "rebuild_cloud", None)
                      is not None else kf.cloud)
             dst_v = (kf.rebuild_valid if getattr(kf, "rebuild_cloud", None)
@@ -91,11 +96,17 @@ def relocalize(query_cloud, query_valid, keyframes: List, *,
                 jnp.asarray(dst_c), jnp.asarray(dst_v), nrm, nok,
                 init_quat=res.quat, init_trans=res.trans,
                 max_corr_dist=1.0, iters=8)
-            if int(ref.n_inliers) >= icp_min_inliers:
-                res = ref
+            dt_ref = float(jnp.linalg.norm(ref.trans - res.trans))
+            dr_ref = float(jnp.linalg.norm(so3.log_quat(so3.quat_mul(
+                so3.quat_conj(ref.quat), res.quat))))
+            pose = res
+            if (int(ref.n_inliers) >= icp_min_inliers
+                    and dt_ref <= 1.0 and dr_ref <= 0.2):
+                pose = ref
             # world pose: T_world←query = T_world←kf ∘ T_kf←query(ICP)
-            qw = so3.quat_mul(jnp.asarray(kf.quat), res.quat)
-            pw = so3.quat_rotate(jnp.asarray(kf.quat), res.trans) + jnp.asarray(kf.pos)
+            qw = so3.quat_mul(jnp.asarray(kf.quat), pose.quat)
+            pw = so3.quat_rotate(jnp.asarray(kf.quat), pose.trans) \
+                + jnp.asarray(kf.pos)
             cand = RelocResult(True, np.asarray(pw), np.asarray(qw), int(ci),
                                float(dists[ci]), float(res.rmse),
                                int(res.n_inliers))

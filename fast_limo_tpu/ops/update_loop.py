@@ -28,8 +28,9 @@ degenerate scans stay on the fast path.
 
 In-kernel EXACT window re-match (round 5).  With a window pack
 (`pack_window`) the kernel runs, per iteration, the full re-match over
-each query's frozen candidate WINDOW (top-(k+3) of its 8-block cube,
-resolved once at the predicted pose): true distances at the current
+each query's frozen candidate WINDOW (top-W of its 8-block cube, W =
+measurement.window_size(k), resolved once at the predicted pose): true
+distances at the current
 iterate, exact k-smallest selection (ties → lowest slot, like lax.top_k),
 a fresh in-kernel plane fit (ops/plane_kernel.fit_math), the close /
 dynamic-object gates, and the MAX_NUM_MATCHES cap (inclusive point-order

@@ -108,6 +108,20 @@ class TestCertifiedRematch:
         np.testing.assert_array_equal(np.asarray(H_a[:, 0] != 0),
                                       np.asarray(H_b[:, 0] != 0))
 
+    def test_small_query_count_traces(self, rng):
+        """Fewer queries than the stale-patch budget (128): tracing must
+        clamp the patch top_k to the query count — BOTH cond branches are
+        always traced, so an unclamped top_k(stale, 128) over 64 queries
+        crashed at trace time even when nothing was ever stale."""
+        m, voxel = _world_map(rng)
+        n_q = 64
+        pc = jnp.asarray(np.stack([
+            rng.uniform(-8, 8, n_q), rng.uniform(-2, 3.8, n_q),
+            rng.uniform(0.0, 2.0, n_q)], 1).astype(np.float32))
+        x0 = _state([0.0, 0.0, 0.9])
+        H, h = _mk(m, voxel, pc, jnp.ones(n_q, bool), x0)[0](x0)
+        assert H.shape == (n_q, 12) and np.isfinite(np.asarray(h)).all()
+
     def test_large_delta_is_bitwise_full_match(self, rng):
         """Past the margins the fallback re-gathers at x — bit-identical to
         a fresh resolve at x (same ops, same order)."""
